@@ -1,0 +1,67 @@
+"""SparkSession construction with scale-aware defaults.
+
+Mirrors the reference's "local dev runner" entry point
+(/root/reference/task.ts:346 `local(new Task(...))`) — but where the
+reference is a single-threaded Node process, this builder configures a
+Spark session whose settings are chosen so the same code runs unchanged
+from local[N] smoke tests up to a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- shuffle partitions sized to cores locally (a cluster deployment
+  overrides via spark-submit conf, not code);
+- UTC session timezone so timestamp semantics are deployment-invariant;
+- Arrow enabled for the few Pandas-UDF operators (the slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app_name: str = "etl_wlg_metlink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's defaults.
+
+    ``master``/``shuffle_partitions`` default from the environment
+    (SPARK_GRAFT_CPUS) so tests, bench.py and the driver all agree.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-mutable engine settings to an externally built
+    session (the correctness driver constructs its own SparkSession and
+    passes it in — pin the confs our semantics depend on)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
