@@ -12,6 +12,8 @@ for a general engine, the function takes a ``semantics`` flag.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,9 +36,13 @@ def split_head(col: Column | str, sep: str = "__") -> Column:
 
     JS ``'abc'.split('__')[0]`` returns the whole string when the
     separator is absent; Spark's ``split().getItem(0)`` has identical
-    semantics (reference task.ts:213).
+    semantics (reference task.ts:213). The separator is escaped because
+    JS String.split is literal while Spark's is a Java regex — '.' or
+    '|' as separators would otherwise silently mis-split.
     """
-    return F.split(F.col(col) if isinstance(col, str) else col, sep).getItem(0)
+    return F.split(
+        F.col(col) if isinstance(col, str) else col, re.escape(sep)
+    ).getItem(0)
 
 
 def js_falsy_to_nan(col: Column | str, semantics: str = "js") -> Column:

@@ -349,23 +349,38 @@ def a1_lastwins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a2_collect_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 collect-to-envelope (task.ts:323-338 FeatureCollection):
-    per-group ordered member list rendered as a joined string (engine-
+    per-group ordered member sample rendered as a joined string (engine-
     neutral stand-in for collect_list(struct(...))).  Bounded output —
     the unbounded form at 100 TB is a partitioned JSON-lines write, see
-    sinks/geojson.py."""
+    sinks/geojson.py.
+
+    Scale shape: a naive `slice(array_sort(collect_list(id)), 1, 20)`
+    materializes the ENTIRE per-group id list in one aggregation buffer
+    (billions of ids per event_type at 100 TB → OOM).  Instead: salted
+    local top-20 (64-way, so no reducer ever holds a whole group), then
+    a global top-20 over ≤ 64×20 candidates, then a broadcast join back
+    onto the cheap map-side-combined counts."""
     events = load(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
+    k, n_salt = 20, 64
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+    w = Window.partitionBy("event_type", "salt").orderBy("event_id")
+    candidates = (
+        salted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
         .agg(
-            F.count("*").alias("n_features"),
             F.array_join(
                 F.transform(
-                    F.slice(F.array_sort(F.collect_list(F.col("event_id"))), 1, 20),
+                    F.slice(F.array_sort(F.collect_list("event_id")), 1, k),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("first_ids"),
+            ).alias("first_ids")
         )
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").alias("n_features"))
+    return counts.join(F.broadcast(candidates), "event_type").select(
+        "event_type", "n_features", "first_ids"
     )
 
 

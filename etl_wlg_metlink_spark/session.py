@@ -47,6 +47,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet carries TIMESTAMP(NANOS), which
+        # Spark 4.x refuses to read by default (PARQUET_TYPE_ILLEGAL).
+        # Read nanos as long; tables.load() normalizes to TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -64,4 +68,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     passes it in — pin the confs our semantics depend on)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Runtime-settable SQLConf: required to read the driver's
+    # TIMESTAMP(NANOS) events.parquet on sessions we didn't build.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

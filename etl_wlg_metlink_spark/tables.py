@@ -7,6 +7,8 @@ pushdown for free (Parquet scans are lazily planned by Catalyst).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -25,7 +27,32 @@ TABLE_NAMES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The correctness driver hands us ITS OWN session (no engine confs);
+    # every load goes through here, so pin the runtime-settable confs
+    # our reads depend on (notably parquet nanos-as-long for events).
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as a
+    BIGINT of epoch nanoseconds. Normalize to a real TimestampType
+    (microsecond precision — the data carries no sub-microsecond
+    component) so downstream window/epoch logic is type-correct.
+
+    Integer ``div`` — ns values (~1.7e18) exceed a double's 53-bit
+    exact-integer range, so float division would corrupt low digits.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
