@@ -4,11 +4,14 @@ has in degenerate form (its D2/D4 lookups are inlined broadcast joins,
 /root/reference/task.ts:225-242, 266-276), generalized to the full
 relational surface a Spark engine owes its users.
 
-Scale notes are per-query; the common rules:
-- small dims (region 5 rows, nation 25) are ALWAYS broadcast —
-  `F.broadcast()` pins it rather than trusting the size estimator;
-- big-big joins shuffle on the join key and rely on AQE for skew;
-- top-k per group is window `row_number() <= k`, never a sort-all.
+Scale rules applied throughout:
+- small dims (region 5 rows, nation 25 rows) are ALWAYS broadcast —
+  `F.broadcast()` pins the hint rather than trusting the size estimator
+  on a 1000-executor cluster where stats may be stale;
+- big-big joins shuffle on the join key and rely on AQE skew splitting;
+- top-k per group is window `row_number() <= k`, never sort-all-rows;
+- the as-of join is the union+ordered-window form (ONE shuffle/sort),
+  not a per-row point-lookup join.
 """
 
 from __future__ import annotations
@@ -18,5 +21,485 @@ from pyspark.sql import functions as F
 
 from etl_wlg_metlink_spark.tables import load
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def r1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join — the relational form of the reference's
+    inlined enum decode (task.ts:266-276): customer → nation → region,
+    customer count + balance per region name. nation/region are tiny;
+    both sides of the dim chain broadcast, so the fact table never
+    shuffles."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        customer.join(dim, customer.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+def r2_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join customer ⨝ orders ⨝ lineitem: revenue per
+    market segment. Both joins shuffle on their keys; at 100 TB the
+    orders⨝lineitem side dominates and AQE picks SMJ with skew
+    splitting — no hints needed beyond declaring the equi keys."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+def r3_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders; per-segment
+    totals where the null side contributes zero counts."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_orderless_rows"),
+        )
+    )
+
+
+def r4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that placed at least one HIGH-ish
+    priority order (existence check; no right-side columns, so Spark
+    can stop at first match and never duplicates the left)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority").startswith("1"))
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def r5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (the NOT EXISTS
+    dual of r4)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def r6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts bucketed into size bands by a
+    non-equi `BETWEEN` predicate against a tiny in-memory band table.
+    The band side is broadcast, so the non-equi condition is evaluated
+    map-side (BroadcastNestedLoopJoin over 4 rows) — never a shuffle."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("tiny", 0, 9), ("small", 10, 24), ("medium", 25, 39), ("large", 40, 100)],
+        "band string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_size >= bands.lo) & (part.p_size <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def r7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'purchase' event, the user's most recent
+    'click' at-or-before the purchase time.
+
+    Implemented as the scale-correct union + ordered-window form: tag
+    both sides, sort once on (user_id, ts, side) and carry the last
+    click forward with last(ignorenulls) — ONE shuffle and sort total,
+    versus a per-row range lookup that Spark would otherwise plan as a
+    broadcast-nested-loop. Clicks order before purchases at equal ts so
+    the `>=` (inclusive) as-of semantics match DuckDB's ASOF JOIN."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.round("purchase_value", 4).alias("purchase_value"),
+            "last_click_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations: rollup / cube / grouping sets / distinct
+# --------------------------------------------------------------------------
+
+def r8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (l_returnflag, l_linestatus): subtotal hierarchy in
+    one pass (Catalyst expands to grouping sets, still a single
+    hash-agg shuffle with map-side partials)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def r9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all 4 grouping
+    combinations, plus grouping_id to disambiguate real NULLs from
+    subtotal rows."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
+    )
+
+
+def r10_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (spark.sql), proving the
+    catalog is reachable through plain ANSI SQL, not only the DataFrame
+    DSL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def r11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (COUNT(DISTINCT ...)).
+    The approximate HLL variant (approx_count_distinct) is the 100 TB
+    path but is engine-specific, so the oracle-checked query is exact;
+    see r12 for the approx variant as a rows-only check."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count_distinct("o_custkey").alias("n_custkeys"),
+        F.count_distinct("o_orderstatus", "o_orderpriority").alias("n_status_prio"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def r12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch every 100 TB
+    pipeline uses instead of exact distinct. Sketch estimates are
+    engine-specific, so this is validated as max-relative-error vs the
+    exact count INSIDE the query; the driver checks the boolean."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    agg = lineitem.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def r13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number over per-nation balance ordering;
+    top-3 per nation via rank<=k (the scale-safe top-k: no global
+    sort, one shuffle on the partition key)."""
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+def r14_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline: per-event delta vs the
+    previous value and the next event's type."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+def r15_window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with an explicit ROWS frame: trailing-4 sum of
+    value per user ordered by event time."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing4_sum"),
+    )
+
+
+def r16_topk_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (top-25 orders by price). Spark plans
+    TakeOrderedAndProject — per-partition heaps then a driver merge of
+    25-row samples, NOT a full sort; exactly what you want at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def r17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT on key projections, tagged and
+    re-unioned so one query exercises all three. Dedup'ing set ops
+    shuffle on the full row; the projections are single-column so the
+    exchange is narrow."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = customer.intersect(orders).select(F.lit("with_orders").alias("tag"), "k")
+    only_cust = customer.exceptAll(orders.distinct()).select(
+        F.lit("no_orders").alias("tag"), "k"
+    )
+    return (
+        both.unionByName(only_cust)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"), F.count_distinct("k").alias("n_distinct"))
+    )
+
+
+QUERIES = {
+    "r1_broadcast_dim_join": r1_broadcast_dim_join,
+    "r2_three_way_join": r2_three_way_join,
+    "r3_left_join_orders": r3_left_join_orders,
+    "r4_semi_join": r4_semi_join,
+    "r5_anti_join": r5_anti_join,
+    "r6_range_join": r6_range_join,
+    "r7_asof_join": r7_asof_join,
+    "r8_rollup": r8_rollup,
+    "r9_cube": r9_cube,
+    "r10_grouping_sets_sql": r10_grouping_sets_sql,
+    "r11_distinct_counts": r11_distinct_counts,
+    "r12_approx_distinct": r12_approx_distinct,
+    "r13_window_rank": r13_window_rank,
+    "r14_window_lag_lead": r14_window_lag_lead,
+    "r15_window_moving_frame": r15_window_moving_frame,
+    "r16_topk_global_sort": r16_topk_global_sort,
+    "r17_set_ops": r17_set_ops,
+}
+
+ORACLE = {
+    "r1_broadcast_dim_join": """
+        SELECT r_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 4) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "r2_three_way_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_mktsegment
+    """,
+    "r3_left_join_orders": """
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_orders,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS n_orderless_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "r4_semi_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND starts_with(o_orderpriority, '1'))
+        GROUP BY c_mktsegment
+    """,
+    "r5_anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "r6_range_join": """
+        WITH bands(band, lo, hi) AS (
+          VALUES ('tiny', 0, 9), ('small', 10, 24),
+                 ('medium', 25, 39), ('large', 40, 100)
+        )
+        SELECT band, COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part JOIN bands ON p_size BETWEEN lo AND hi
+        GROUP BY band
+    """,
+    "r7_asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               ROUND(p.value, 4) AS purchase_value,
+               c.event_id AS last_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "r8_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "r9_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 4) AS sum_price,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "r10_grouping_sets_sql": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "r11_distinct_counts": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_custkeys,
+               COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio,
+               COUNT(*) AS n_rows
+        FROM orders
+    """,
+    "r12_approx_distinct": """
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+    """,
+    "r13_window_rank": """
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 4) AS c_acctbal,
+               rnk, drnk, rn
+        FROM (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 RANK() OVER w AS rnk,
+                 DENSE_RANK() OVER w AS drnk,
+                 ROW_NUMBER() OVER w AS rn
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE rn <= 3
+    """,
+    "r14_window_lag_lead": """
+        SELECT event_id, user_id,
+               ROUND(value - LAG(value, 1) OVER w, 4) AS delta_prev,
+               LEAD(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "r15_window_moving_frame": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                 AS trailing4_sum
+        FROM events
+    """,
+    "r16_topk_global_sort": """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    "r17_set_ops": """
+        WITH c AS (SELECT c_custkey AS k FROM customer),
+             o AS (SELECT o_custkey AS k FROM orders),
+             both_t AS (
+               SELECT 'with_orders' AS tag, k FROM (
+                 SELECT k FROM c INTERSECT SELECT k FROM o)),
+             only_c AS (
+               SELECT 'no_orders' AS tag, k FROM (
+                 SELECT k FROM c EXCEPT ALL SELECT DISTINCT k FROM o))
+        SELECT tag, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct
+        FROM (SELECT * FROM both_t UNION ALL SELECT * FROM only_c)
+        GROUP BY tag
+    """,
+}
