@@ -1,0 +1,60 @@
+"""S8 — typed config with defaults, the engine's equivalent of the
+reference's TypeBox `Env` object (/root/reference/task.ts:30-51):
+API key, three per-vehicle-type visibility toggles, debug flag.
+
+Values resolve in order: explicit constructor args > environment
+variables (`METLINK_API_KEY`, `SHOW_BUSES`, ...) > declared defaults —
+mirroring `Type.Boolean({default: true})` semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclass(frozen=True)
+class MetlinkConfig:
+    """Reference task.ts:30-51 `Env`, field for field."""
+
+    metlink_api_key: str = ""
+    show_buses: bool = True
+    show_trains: bool = True
+    show_ships: bool = True
+    debug: bool = False
+
+    @classmethod
+    def from_env(cls, **overrides) -> "MetlinkConfig":
+        base = {
+            "metlink_api_key": os.environ.get("METLINK_API_KEY", ""),
+            "show_buses": _env_bool("SHOW_BUSES", True),
+            "show_trains": _env_bool("SHOW_TRAINS", True),
+            "show_ships": _env_bool("SHOW_SHIPS", True),
+            "debug": _env_bool("DEBUG", False),
+        }
+        base.update(overrides)
+        return cls(**base)
+
+    def enabled_types(self) -> list[str]:
+        """P5 — the show/hide toggles as an isin() list
+        (task.ts:245-249)."""
+        out = []
+        if self.show_buses:
+            out.append("Bus")
+        if self.show_trains:
+            out.append("Train")
+        if self.show_ships:
+            out.append("Ship")
+        return out
+
+    def describe(self) -> dict[str, object]:
+        """S7-adjacent introspection: config surface as a plain dict
+        (≈ the reference returning `Env` from schema(), task.ts:129)."""
+        return {f.name: getattr(self, f.name) for f in fields(self)}

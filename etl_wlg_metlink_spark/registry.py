@@ -21,12 +21,19 @@ def _modules():
     # time with a clean traceback (and to avoid import cycles).
     from etl_wlg_metlink_spark.operators import (
         llm_pipeline,
+        metlink_queries,
         reference_surface,
         relational,
     )
     from etl_wlg_metlink_spark import streaming as streaming_pkg
 
-    return (reference_surface, relational, llm_pipeline, streaming_pkg)
+    return (
+        reference_surface,
+        relational,
+        llm_pipeline,
+        metlink_queries,
+        streaming_pkg,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

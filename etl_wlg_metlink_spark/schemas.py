@@ -1,0 +1,82 @@
+"""S7 — explicit StructType registry + introspection.
+
+The reference declares its schemas twice (TS interface task.ts:57-83,
+TypeBox runtime schema task.ts:85-113) and exposes them via
+`schema(type, flow)` (task.ts:124-137). Here each schema is a single
+StructType; `describe()` is the introspection surface
+(≈ `df.schema.json()`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: GTFS-RT VehiclePositions entity (task.ts:57-83). Optional TS fields
+#: are nullable columns; Spark fields are nullable by default.
+VEHICLE_ENTITY = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "vehicle",
+            T.StructType(
+                [
+                    T.StructField(
+                        "trip",
+                        T.StructType(
+                            [
+                                T.StructField("trip_id", T.StringType()),
+                                T.StructField("route_id", T.LongType()),
+                                T.StructField("direction_id", T.LongType()),
+                                T.StructField("start_time", T.StringType()),
+                                T.StructField("start_date", T.StringType()),
+                                T.StructField(
+                                    "schedule_relationship", T.LongType()
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "position",
+                        T.StructType(
+                            [
+                                T.StructField("latitude", T.DoubleType()),
+                                T.StructField("longitude", T.DoubleType()),
+                                T.StructField("bearing", T.DoubleType()),
+                                T.StructField("speed", T.DoubleType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("timestamp", T.LongType()),
+                    T.StructField(
+                        "vehicle",
+                        T.StructType([T.StructField("id", T.StringType())]),
+                    ),
+                    T.StructField("occupancy_status", T.LongType()),
+                    T.StructField("current_stop_sequence", T.LongType()),
+                    T.StructField("stop_id", T.StringType()),
+                    T.StructField("current_status", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: Response envelope `{header, entity[]}` (task.ts:174-175). header is
+#: carried as an opaque string map — the reference never reads it.
+VEHICLE_POSITIONS_RESPONSE = T.StructType(
+    [
+        T.StructField("header", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("entity", T.ArrayType(VEHICLE_ENTITY)),
+    ]
+)
+
+REGISTRY: dict[str, T.StructType] = {
+    "gtfs_rt_entity": VEHICLE_ENTITY,
+    "gtfs_rt_vehicle_positions": VEHICLE_POSITIONS_RESPONSE,
+}
+
+
+def describe(name: str) -> str:
+    """Introspection: JSON schema string for a registered StructType
+    (≈ reference `schema()` returning the TypeBox object)."""
+    return REGISTRY[name].json()

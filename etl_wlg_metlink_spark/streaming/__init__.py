@@ -1,11 +1,128 @@
 """M5 streaming catalog: the reference's scheduled-poll lifecycle
 (/root/reference/task.ts:122 `InvocationType.Schedule`) generalized to
-Structured Streaming — tumbling/sliding/session windows, watermarks,
-availableNow one-shot triggers — plus batch-equivalent query entries so
-the windowed aggregations are oracle-checkable.
+Structured Streaming.
+
+Two layers:
+- `runners` — actual readStream/writeStream pipelines (availableNow
+  one-shot trigger ≈ one Lambda invocation; watermarks; foreachBatch
+  submit sink). Verified by streaming-vs-batch parity tests.
+- this module's QUERIES — the BATCH equivalents of the windowed
+  aggregations (tumbling / sliding / session), DuckDB-oracle-checked;
+  Structured Streaming runs the identical expressions incrementally,
+  which is exactly Spark's unified-engine contract.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_wlg_metlink_spark.tables import load
+
+
+def s1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (streaming:
+    `withWatermark('ts', ...)` + identical window expression — see
+    runners.tumbling_counts_stream; parity-tested)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def s2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows; counts per window per type."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def s3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute inactivity gap): Spark's
+    `session_window`; the oracle is the classic gaps-and-islands SQL.
+    A new session starts when the gap is ≥ the timeout (session extent
+    is half-open [start, last+gap))."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+QUERIES = {
+    "s1_tumbling_window": s1_tumbling_window,
+    "s2_sliding_window": s2_sliding_window,
+    "s3_session_window": s3_session_window,
+}
+
+ORACLE = {
+    "s1_tumbling_window": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "s2_sliding_window": """
+        WITH assigned AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, value
+          FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM assigned GROUP BY 1
+    """,
+    "s3_session_window": """
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM ordered
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
+}

@@ -1,0 +1,137 @@
+"""M5 — actual Structured Streaming pipelines.
+
+The reference is a scheduled one-shot batch (task.ts:122): each Lambda
+invocation processes one snapshot. The streaming analogue is
+`trigger(availableNow=True)` — process everything available, then
+stop — which is how every runner here executes in tests; swapping the
+trigger for `processingTime` turns the same graph into a resident
+poller with NO code changes (Spark's unified batch/stream contract).
+
+Watermarks bound state: the tumbling aggregation keeps only windows
+younger than the watermark; dedup-within-watermark keeps only recent
+keys. That is what makes these plans safe on an unbounded 100 TB/day
+stream, where an unwatermarked aggregation would accumulate state
+forever.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_wlg_metlink_spark.schemas import VEHICLE_POSITIONS_RESPONSE
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file-source stream (one file = one
+    micro-batch upper bound via maxFilesPerTrigger), with the same
+    nanos→TimestampType normalization as the batch loader."""
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+    from etl_wlg_metlink_spark.tables import _normalize_event_ts
+
+    ensure_engine_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file-stream source wants a directory to watch; testdata is a
+    # single read-only file, so expose it through a temp dir of
+    # symlinks (what a real deployment's landing directory is anyway).
+    import os
+    import tempfile
+
+    watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(watch_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+    return _normalize_event_ts(stream)
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Identical expression to streaming.s1_tumbling_window, plus the
+    watermark that bounds streaming state to 2 hours of late data."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """A1's streaming form: drop duplicate user_ids within the
+    watermark horizon (`dropDuplicatesWithinWatermark`) — bounded
+    state, unlike a global dropDuplicates which would be unbounded."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str | None = None, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame one-shot (availableNow) into a
+    memory sink and return the materialized result. ≈ one scheduled
+    invocation of the reference task."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def metlink_envelope_stream(
+    spark: SparkSession,
+    input_dir: str,
+    poster: Callable[[dict], None],
+    checkpoint_dir: str,
+):
+    """S4/S5 streaming sink: watch a directory of raw envelope JSON
+    files; each micro-batch runs the composed Metlink pipeline and
+    submits one FeatureCollection per batch via foreachBatch — the
+    resident-poller version of the reference's per-invocation
+    submit (task.ts:341)."""
+    from etl_wlg_metlink_spark.config import MetlinkConfig
+    from etl_wlg_metlink_spark.pipelines import metlink
+    from etl_wlg_metlink_spark.sinks import geojson
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("wholetext", True)
+        .option("maxFilesPerTrigger", 1)
+        .text(input_dir)
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), VEHICLE_POSITIONS_RESPONSE).alias("body")
+    ).select(F.posexplode("body.entity").alias("idx", "entity")).withColumn(
+        "idx", F.col("idx").cast("long")
+    )
+
+    def submit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        features = metlink.run(batch_df, MetlinkConfig())
+        geojson.submit(features, poster)
+
+    return (
+        parsed.writeStream.foreachBatch(submit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
