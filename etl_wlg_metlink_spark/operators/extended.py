@@ -1,0 +1,236 @@
+"""Extended function-surface catalog: the scalar/aggregate families a
+user of a general analytics engine expects beyond the reference's own
+operators (SURVEY.md §2.5 audit rows) — percentiles, pivot, string and
+date function packs, map functions, and the Arrow/Pandas UDF paths
+(scalar-batch, grouped-agg, applyInPandas) each pinned against a
+DuckDB oracle so even the Python-worker lane is value-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from etl_wlg_metlink_spark.tables import load
+
+
+def x1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). The approximate sketch variant
+    (percentile_approx / t-digest) is the 100 TB path but is
+    engine-specific, so the checked query is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def x2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (orderstatus × orderpriority count matrix). Explicit value
+    list — at scale an unlisted pivot forces an extra distinct pass."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.col("1-URGENT").alias("urgent"),
+            F.col("2-HIGH").alias("high"),
+            F.col("3-MEDIUM").alias("medium"),
+            F.col("4-NOT SPECIFIED").alias("notspec"),
+            F.col("5-LOW").alias("low"),
+        )
+    )
+
+
+def x3_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack: regexp_replace / translate / lpad / rpad /
+    substring / locate / repeat / reverse / trim on part names."""
+    part = load(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.translate(name, "abc", "xyz").alias("translated"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_lpad"),
+        F.rpad(F.col("p_brand"), 12, "*").alias("brand_rpad"),
+        F.substring(name, 2, 5).alias("sub25"),
+        F.locate("a", name).cast("long").alias("first_a"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.length(F.trim(name)).cast("long").alias("trimmed_len"),
+    )
+
+
+def x4_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack on o_orderdate: extract fields, truncate, offset,
+    diff — the everyday time-dimension toolkit."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_end"),
+    )
+
+
+def x5_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON functions: from_json into a typed map, map_keys /
+    element_at, exercised on the events.props JSON column."""
+    events = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return events.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.element_at(m, "k").cast("long").alias("k_value"),
+        F.size(m).cast("long").alias("n_keys"),
+    )
+
+
+def x6_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar Pandas UDF (the sanctioned Python lane —
+    never row-at-a-time): a haversine-ish numeric transform the
+    built-ins could also express, chosen so the oracle can check the
+    UDF machinery itself."""
+
+    @pandas_udf("double")
+    def log_price(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log1p(v)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(log_price(F.col("l_extendedprice")), 6).alias("log_price"),
+    )
+
+
+def x7_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF: discount-weighted mean price per
+    returnflag (Arrow transfer, one pandas Series per group per
+    partition, combined by Spark's agg machinery)."""
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, disc: pd.Series) -> float:
+        w = 1.0 - disc
+        return float((price * w).sum() / w.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "wmean_price"
+        )
+    )
+
+
+def x8_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-user ordered session math in pandas (cumsum
+    of value along the event timeline) — the custom-stateful-operator
+    escape hatch; the oracle is the equivalent running-sum window."""
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["running_value"] = pdf["value"].cumsum().round(4)
+        return pdf[["user_id", "event_id", "running_value"]]
+
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").applyInPandas(
+        cumsum, schema="user_id long, event_id long, running_value double"
+    )
+
+
+QUERIES = {
+    "x1_percentiles": x1_percentiles,
+    "x2_pivot": x2_pivot,
+    "x3_string_funcs": x3_string_funcs,
+    "x4_date_funcs": x4_date_funcs,
+    "x5_map_funcs": x5_map_funcs,
+    "x6_pandas_scalar_udf": x6_pandas_scalar_udf,
+    "x7_pandas_grouped_agg": x7_pandas_grouped_agg,
+    "x8_apply_in_pandas": x8_apply_in_pandas,
+}
+
+ORACLE = {
+    "x1_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "x2_pivot": """
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                 AS notspec,
+               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "x3_string_funcs": """
+        SELECT p_partkey,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               translate(p_name, 'abc', 'xyz') AS translated,
+               lpad(p_brand, 12, '*') AS brand_lpad,
+               rpad(p_brand, 12, '*') AS brand_rpad,
+               substr(p_name, 2, 5) AS sub25,
+               COALESCE(strpos(p_name, 'a'), 0) AS first_a,
+               reverse(p_brand) AS brand_rev,
+               length(trim(p_name)) AS trimmed_len
+        FROM part
+    """,
+    "x4_date_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               dayofweek(o_orderdate) + 1 AS dow_sun1,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                 AS month_start,
+               strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d')
+                 AS plus30,
+               datediff('day', o_orderdate::DATE, DATE '1998-12-31')
+                 AS days_to_end
+        FROM orders
+    """,
+    "x5_map_funcs": """
+        SELECT event_id,
+               array_to_string(json_keys(props), ',') AS keys,
+               CAST(props->>'k' AS BIGINT) AS k_value,
+               len(json_keys(props)) AS n_keys
+        FROM events
+    """,
+    "x6_pandas_scalar_udf": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(ln(1 + l_extendedprice), 6) AS log_price
+        FROM lineitem
+    """,
+    "x7_pandas_grouped_agg": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount))
+                     / SUM(1 - l_discount), 4) AS wmean_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "x8_apply_in_pandas": """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        FROM events
+    """,
+}

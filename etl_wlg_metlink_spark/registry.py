@@ -20,6 +20,7 @@ def _modules():
     # Imported lazily so a syntax error in one module surfaces at call
     # time with a clean traceback (and to avoid import cycles).
     from etl_wlg_metlink_spark.operators import (
+        extended,
         llm_pipeline,
         metlink_queries,
         reference_surface,
@@ -32,6 +33,7 @@ def _modules():
         relational,
         llm_pipeline,
         metlink_queries,
+        extended,
         streaming_pkg,
     )
 

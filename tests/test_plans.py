@@ -1,0 +1,85 @@
+"""Physical-plan audits (the 100 TB design gate): these tests pin the
+plan properties that make the catalog scale — filter pushdown reaching
+the parquet scan, column pruning, broadcast joins where a side is
+bounded, top-k via TakeOrderedAndProject, whole-stage codegen, and a
+global no-cartesian-product sweep over every registered query.
+
+A plan regression (e.g. a lost broadcast hint or a filter that stops
+pushing) fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import entry, queries
+
+#: queries where a BroadcastNestedLoopJoin is the *intended* plan: a
+#: bounded broadcast side with a non-equi condition (range join, ANN
+#: probes, bounded query sets).
+BNLJ_OK = {
+    "r6_range_join",
+    "l9_cosine_topk",
+    "l11_knn_label_vote",
+    "l12_lsh_ann_recall",
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_entry_pushdown_and_codegen(spark):
+    df = entry(spark)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan.replace("\n", " ") or (
+        "PushedFilters" in plan and "l_shipdate" in plan
+    )
+    # AQE renders codegen only in the final (executed) plan; compact
+    # plan strings mark WholeStageCodegen stages with the `*(n)` star
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final and "*(" in final
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = queries()["p6_nested_projection"](spark, sf_dir)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    # only the 4 referenced columns reach the scan
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"):
+        assert col in scan
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(queries()["r1_broadcast_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _plan(queries()["r6_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(queries()["r16_topk_global_sort"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(queries()["p5_config_isin_filter"](spark, sf_dir))
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_OK, (
+            f"{name} plans an unexpected BroadcastNestedLoopJoin"
+        )
