@@ -98,6 +98,41 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
+def user_track_state_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    per-key running-track state the reference approximates with stable
+    IDs + a staleness TTL (task.ts:251, 297), done properly: per-user
+    (count, total value) accumulated across micro-batches. State lives
+    in the state store, sized per key, not per event — the 100 TB
+    requirement for unbounded streams.
+
+    Emits one row per user per micro-batch with the state as-of that
+    batch; the last emission per user equals the batch aggregate
+    (parity-tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((count, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count],
+             "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def metlink_envelope_stream(
     spark: SparkSession,
     input_dir: str,

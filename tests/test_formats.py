@@ -1,0 +1,70 @@
+"""File-format scan surface (SURVEY.md §2.5 row 1): parquet is the
+native testdata format; CSV and JSON scans are exercised by
+round-tripping a table through each format and comparing values.
+Schema-on-read is explicit (never inferSchema in production paths —
+inference is a full extra pass at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_wlg_metlink_spark.tables import load
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for r in [row] for c in cols) for row in df.collect())
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(path)
+    )
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema("r_regionkey int, r_name string").json(path)
+    cols = ["r_regionkey", "r_name"]
+    assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_json_permissive_corrupt_record(spark, tmp_path):
+    """S2's PERMISSIVE mode: malformed lines land in _corrupt_record
+    instead of failing the scan (the skip-don't-crash policy,
+    task.ts:195)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1}\n{definitely broken\n{"a": 3}\n')
+    df = (
+        spark.read.schema("a long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r["a"] for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert sorted(good) == [1, 3] and len(bad) == 1
+
+
+def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned layout + partition pruning: a filter on the
+    partition column must prune directories (the scan's 'partition
+    filters', not a data filter)."""
+    src = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_status")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    assert back.count() == src.where(F.col("o_orderstatus") == "F").count()

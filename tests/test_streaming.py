@@ -46,6 +46,65 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
     assert len({r["user_id"] for r in got}) == n_users
 
 
+def test_stateful_track_state_parity(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: replay
+    events as 4 files → 4 batches; the final state per user must equal
+    the batch groupBy aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # split events into multiple files so state genuinely crosses
+    # micro-batch boundaries
+    src = load(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    src.repartition(4).write.mode("overwrite").parquet(replay)
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    result = runners.run_available_now(
+        runners.user_track_state_stream(stream),
+        query_name="track_state",
+        output_mode="update",
+    )
+    # last emission per user = final state
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    expected = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(final, cols) == _rows(expected, cols)
+
+
+def test_observe_metrics(spark, sf_dir):
+    """A3's real form: df.observe() accumulates pipeline counters in
+    one pass (reference logs received/valid/submitted,
+    task.ts:176, 332, 340)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    events = load(spark, sf_dir, "events")
+    obs = Observation("counters")
+    valid = F.col("value").isNotNull() & (F.col("value") != 0)
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("received"),
+        F.sum(valid.cast("long")).alias("valid"),
+    )
+    n = observed.where(valid).count()
+    assert obs.get["received"] == events.count()
+    assert obs.get["valid"] == n
+
+
 def test_metlink_envelope_stream(spark, tmp_path):
     inbox = tmp_path / "inbox"
     inbox.mkdir()
