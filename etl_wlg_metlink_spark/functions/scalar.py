@@ -72,8 +72,9 @@ def occupancy_label(col: Column | str, default: str = "Unknown") -> Column:
     (reference task.ts:266-276; duplicate decode task.ts:304-306).
 
     Implemented as ``element_at`` over a literal array — constant-folded
-    by Catalyst, no join, no UDF.  A broadcast-join variant for
-    arbitrary enum tables lives in operators/relational.py.
+    by Catalyst, no join, no UDF.  For arbitrary/large enum tables the
+    same decode is a broadcast dim join — see
+    operators/relational.py::r1_broadcast_dim_join for the pattern.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("int")
     arr = F.array(*[F.lit(x) for x in OCCUPANCY_LABELS])

@@ -581,6 +581,48 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l14_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by label: the top-3
+    most-similar vector pairs within each label block. Blocking bounds
+    the quadratic pair space (like l7's lang/source blocks); the
+    per-block ranking is a window, not a global sort. On real corpora
+    the block key is a coarse cluster/LSH bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    corpus = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = corpus.select(
+        "label",
+        F.col("vec_id").alias("vec_i"),
+        F.col("embedding").alias("e_i"),
+        F.col("norm").alias("n_i"),
+    )
+    b = corpus.select(
+        "label",
+        F.col("vec_id").alias("vec_j"),
+        F.col("embedding").alias("e_j"),
+        F.col("norm").alias("n_j"),
+    )
+    sim = _dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("vec_i") < F.col("vec_j"))
+        .withColumn("cosine", F.round(sim, 4))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine").desc(), F.col("vec_i"), F.col("vec_j")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("label", "vec_i", "vec_j", "cosine", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (l13)
 # --------------------------------------------------------------------------
@@ -641,6 +683,7 @@ QUERIES = {
     "l11_knn_label_vote": l11_knn_label_vote,
     "l12_lsh_ann_recall": l12_lsh_ann_recall,
     "l13_multimodal_features": l13_multimodal_features,
+    "l14_cosine_near_dup": l14_cosine_near_dup,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -908,6 +951,21 @@ ORACLE = {
             PARTITION BY query_id ORDER BY c DESC, label) AS vr
           FROM votes
         ) WHERE vr = 1
+    """,
+    "l14_cosine_near_dup": f"""
+        WITH c AS ({_DUCK_COSINE_CORPUS}),
+        p AS (
+          SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (a.norm * b.norm), 4) AS cosine
+          FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label, vec_i, vec_j, cosine, rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY cosine DESC, vec_i, vec_j) AS rnk
+          FROM p
+        ) WHERE rnk <= 3
     """,
     "l13_multimodal_features": """
         SELECT doc_id,

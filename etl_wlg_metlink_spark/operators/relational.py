@@ -348,6 +348,33 @@ def r17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r18_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the manual skew weapon when AQE's runtime
+    splitting isn't enough (e.g. one user owns 30% of a 100 TB fact
+    table): the fact side gets a deterministic salt, the dim side is
+    exploded ×R, and the join key becomes (user_id, salt) so the hot
+    key spreads over R reducers. Results are salt-invariant, so the
+    oracle is the plain join."""
+    R = 8
+    events = load(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 5).cast("long"))
+    )
+    salted_fact = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(R)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)).cast("array<int>"))
+    )
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -366,6 +393,7 @@ QUERIES = {
     "r15_window_moving_frame": r15_window_moving_frame,
     "r16_topk_global_sort": r16_topk_global_sort,
     "r17_set_ops": r17_set_ops,
+    "r18_salted_skew_join": r18_salted_skew_join,
 }
 
 ORACLE = {
@@ -488,6 +516,14 @@ ORACLE = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 25
+    """,
+    "r18_salted_skew_join": """
+        WITH dim AS (
+          SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+        )
+        SELECT tier, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events JOIN dim USING (user_id)
+        GROUP BY tier
     """,
     "r17_set_ops": """
         WITH c AS (SELECT c_custkey AS k FROM customer),

@@ -78,6 +78,19 @@ RAW_JSON = json.dumps(
 )
 
 
+def js_tofixed(x: float, digits: int = 1) -> str:
+    """JS Number.toFixed semantics (ES §Number.prototype.toFixed): pick
+    the closest n/10^digits to the EXACT binary value of x; on a tie
+    pick the larger n. That is decimal HALF_UP over the full binary
+    expansion — which is also what Java's %.1f does, and NOT what
+    Python's format() does (round-half-even): 27.25 → '27.3', not
+    '27.2'."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return str(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _iso(ts: int) -> str:
     from datetime import datetime, timezone
 
@@ -145,7 +158,7 @@ def oracle_features(entities=None, enabled=("Bus", "Train", "Ship")):
             remarks.append(f"Occupancy: {occ_label}")
         speed = p.get("speed")
         if speed is not None:
-            remarks.append(f"Speed: {speed:.1f} m/s")
+            remarks.append(f"Speed: {js_tofixed(speed)} m/s")
         iso = _iso(v["timestamp"])
         props = {
             "type": COTS[vtype],

@@ -1,0 +1,140 @@
+"""Property-based spot checks (SURVEY.md §5): hypothesis generates
+random inputs; the Spark expressions must match a plain-Python
+reference implementation of the JS semantics, and the composed
+pipeline must match the mini-oracle on RANDOM fixtures, not just the
+hand-picked one.
+
+Spark jobs are expensive per-example, so each example carries a batch
+of values and example counts are small.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_wlg_metlink_spark.config import MetlinkConfig
+from etl_wlg_metlink_spark.pipelines import metlink
+from etl_wlg_metlink_spark.pipelines.gtfs_fixture import (
+    _entity,
+    oracle_features,
+)
+from etl_wlg_metlink_spark.functions.scalar import (
+    js_falsy_to_nan,
+    nullish_default_str,
+    occupancy_label,
+    split_head,
+)
+from etl_wlg_metlink_spark.sinks import geojson
+from etl_wlg_metlink_spark.sources import gtfs
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_or_special = st.one_of(
+    st.none(),
+    st.just(0.0),
+    st.just(float("nan")),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+
+
+@given(st.lists(finite_or_special, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_js_falsy_to_nan_matches_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = [r[0] for r in df.select(js_falsy_to_nan("v")).collect()]
+    for g, v in zip(got, values):
+        falsy = v is None or v == 0 or (isinstance(v, float) and math.isnan(v))
+        if falsy:
+            assert math.isnan(g)
+        else:
+            assert g == v
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_nullish_default_matches_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = [r[0] for r in df.select(nullish_default_str("v")).collect()]
+    assert got == ["Unknown" if v is None else str(v) for v in values]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from(["__", ".", "|", "a", "-"]),
+)
+@settings(**SETTINGS)
+def test_split_head_matches_python_split(spark, strings, sep):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r[0] for r in df.select(split_head("s", sep)).collect()]
+    assert got == [s.split(sep)[0] for s in strings]
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-2, 9)), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_occupancy_label_matches_python(spark, codes):
+    labels = [
+        "Empty", "Many seats available", "Few seats available",
+        "Standing room only", "Crushed standing room only", "Full",
+        "Not accepting passengers",
+    ]
+    df = spark.createDataFrame([(c,) for c in codes], "c long")
+    got = [r[0] for r in df.select(occupancy_label("c")).collect()]
+    assert got == [
+        labels[c] if c is not None and 0 <= c < 7 else "Unknown" for c in codes
+    ]
+
+
+# -- random pipeline fixtures vs the mini-oracle ---------------------------
+
+trip_ids = st.one_of(
+    st.none(),
+    st.just(""),
+    st.sampled_from(
+        ["QDF__F1", "MIF__X", "HVL__T", "KPL__9", "MEL__2", "220__B",
+         "AX__B", "NOSEP", "7__77"]
+    ),
+)
+
+entity_params = st.fixed_dictionaries(
+    {
+        "trip_id": trip_ids,
+        "lat": st.sampled_from([-41.3, 0.0, -41.29]),
+        "lon": st.sampled_from([174.8, 0.0]),
+        "bearing": st.sampled_from([0.0, 90.0, 359.0]),
+        "speed": st.sampled_from([None, 0.0, 3.5, 27.25]),
+        "direction": st.sampled_from([0, 1, None]),
+        "occupancy": st.sampled_from([None, 0, 3, 6, 7]),
+        "vehicle_id": st.sampled_from(["A", "B", "C", "D", "E", "F"]),
+        "include_vehicle": st.booleans(),
+        "include_position": st.booleans(),
+    }
+)
+
+
+@given(st.lists(entity_params, min_size=0, max_size=12))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pipeline_matches_oracle_on_random_fixtures(spark, params):
+    entities = [_entity(i, **p) for i, p in enumerate(params)]
+    raw = json.dumps({"header": {}, "entity": entities})
+    fc = geojson.submit(
+        metlink.run(gtfs.entities_from_json(spark, raw), MetlinkConfig()),
+        lambda _: None,
+    )
+    expected = oracle_features(entities)
+    assert fc["features"] == expected
