@@ -71,4 +71,10 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # Runtime-settable SQLConf: required to read the driver's
     # TIMESTAMP(NANOS) events.parquet on sessions we didn't build.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Size shuffles to the machine: AQE coalesces ordinary exchanges at
+    # runtime, but stateful streaming ops pin their state-store
+    # partitioning to this value at query start (200 default = 200
+    # state stores on a laptop-sized run).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     return spark

@@ -80,10 +80,30 @@ def s3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s4_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, end-to-end through the
+    driver gate: replay events as a stream, accumulate per-user
+    (count, total) in the state store via applyInPandasWithState
+    (runners.user_track_state_stream), take the final emission per
+    user. Oracle = the batch aggregate — streaming state must converge
+    to exactly the batch answer."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    result = runners.run_available_now(
+        runners.user_track_state_stream(stream), output_mode="update"
+    )
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
     "s3_session_window": s3_session_window,
+    "s4_stateful_running_totals": s4_stateful_running_totals,
 }
 
 ORACLE = {
@@ -103,6 +123,11 @@ ORACLE = {
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM assigned GROUP BY 1
+    """,
+    "s4_stateful_running_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(COALESCE(value, 0)), 4) AS total_value
+        FROM events GROUP BY user_id
     """,
     "s3_session_window": """
         WITH ordered AS (
