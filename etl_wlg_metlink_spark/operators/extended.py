@@ -153,6 +153,53 @@ def x8_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x9_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function lane): tokenize documents
+    into (doc_id, pos, word) rows — semantically posexplode(split()),
+    done via the UDTF mechanism so the lane itself is oracle-checked.
+    Used only where a set-returning function genuinely can't be a
+    built-in; this one could, which is exactly why it's verifiable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D102
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield i, w
+
+    spark.udtf.register("tokenize_x9", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_x9")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM docs_x9 d, LATERAL tokenize_x9(d.text) t
+        WHERE t.word <> ''
+        """
+    )
+
+
+def x10_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function pack over the embedding column:
+    transform / filter / exists / forall / aggregate / slice /
+    sort_array — the lambda-expression surface Catalyst evaluates
+    without Python."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 2.5).alias("has_gt25"),
+        F.forall(e, lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(F.element_at(F.slice(F.sort_array(e, False), 1, 1), 1), 4).alias(
+            "max_comp"
+        ),
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -162,6 +209,8 @@ QUERIES = {
     "x6_pandas_scalar_udf": x6_pandas_scalar_udf,
     "x7_pandas_grouped_agg": x7_pandas_grouped_agg,
     "x8_apply_in_pandas": x8_apply_in_pandas,
+    "x9_python_udtf": x9_python_udtf,
+    "x10_array_hofs": x10_array_hofs,
 }
 
 ORACLE = {
@@ -232,5 +281,25 @@ ORACLE = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
         FROM events
+    """,
+    "x9_python_udtf": """
+        SELECT doc_id, CAST(idx - 1 AS INT) AS pos, word
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS idx
+          FROM documents
+        )
+        WHERE word <> ''
+    """,
+    "x10_array_hofs": """
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4)
+                 AS vec_sum,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               len(list_filter(embedding, x -> x > 2.5)) > 0 AS has_gt25,
+               len(list_filter(embedding, x -> abs(x) >= 10)) = 0 AS all_small,
+               ROUND(list_max(list_transform(embedding, x -> x::DOUBLE)), 4)
+                 AS max_comp
+        FROM embeddings
     """,
 }

@@ -375,6 +375,25 @@ def r18_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders
+    priced above their customer's average order price. Catalyst
+    decorrelates this into an aggregate + join — no per-row re-execution
+    (the plan shows a single joined aggregate, which is why it scales)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_r19")
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_above
+        FROM orders_r19 o
+        WHERE o_totalprice > (
+          SELECT AVG(o_totalprice) FROM orders_r19 i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
+        """
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -394,6 +413,7 @@ QUERIES = {
     "r16_topk_global_sort": r16_topk_global_sort,
     "r17_set_ops": r17_set_ops,
     "r18_salted_skew_join": r18_salted_skew_join,
+    "r19_correlated_subquery": r19_correlated_subquery,
 }
 
 ORACLE = {
@@ -516,6 +536,15 @@ ORACLE = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 25
+    """,
+    "r19_correlated_subquery": """
+        SELECT o_custkey, COUNT(*) AS n_above
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT AVG(o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
     """,
     "r18_salted_skew_join": """
         WITH dim AS (
