@@ -653,6 +653,36 @@ def l14_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l15_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF (ln((N+1)/(df+1))), top-3 terms per
+    document: two hash-agg shuffles (term frequencies, document
+    frequencies) + one broadcast of the tiny df table + a per-doc
+    window — the standard distributed formulation; nothing quadratic,
+    nothing driver-side."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    terms = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    tf = terms.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the oracle recomputes it identically
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 4
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (l13)
 # --------------------------------------------------------------------------
@@ -714,6 +744,7 @@ QUERIES = {
     "l12_lsh_ann_recall": l12_lsh_ann_recall,
     "l13_multimodal_features": l13_multimodal_features,
     "l14_cosine_near_dup": l14_cosine_near_dup,
+    "l15_tfidf_top_terms": l15_tfidf_top_terms,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -995,6 +1026,27 @@ ORACLE = {
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY label ORDER BY cosine DESC, vec_i, vec_j) AS rnk
           FROM p
+        ) WHERE rnk <= 3
+    """,
+    "l15_tfidf_top_terms": """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ),
+        t AS (SELECT * FROM terms WHERE word <> ''),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+                   AS tfidf
+          FROM tf JOIN df USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, tf, df, tfidf, rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+          FROM scored
         ) WHERE rnk <= 3
     """,
     "l13_multimodal_features": """
