@@ -29,6 +29,31 @@ def x1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: `percentile_approx` keeps a bounded
+    sketch per group, where exact `percentile` buffers every value in
+    the aggregation buffer (x1 — fine for the oracle, an OOM at scale).
+    Sketches are engine-specific, so like r12 the query validates
+    itself: the approx answer must sit within 1% of exact, and the
+    driver checks the boolean plus the exact value."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.col("exact_p50")
+            < 0.01
+        ).alias("approx_within_1pct"),
+    )
+
+
 def x2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (orderstatus × orderpriority count matrix). Explicit value
     list — at scale an unlisted pivot forces an extra distinct pass."""
@@ -211,6 +236,7 @@ QUERIES = {
     "x8_apply_in_pandas": x8_apply_in_pandas,
     "x9_python_udtf": x9_python_udtf,
     "x10_array_hofs": x10_array_hofs,
+    "x11_approx_percentile": x11_approx_percentile,
 }
 
 ORACLE = {
@@ -281,6 +307,12 @@ ORACLE = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
         FROM events
+    """,
+    "x11_approx_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+               TRUE AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag
     """,
     "x9_python_udtf": """
         SELECT doc_id, CAST(idx - 1 AS INT) AS pos, word

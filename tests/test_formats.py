@@ -57,6 +57,25 @@ def test_json_permissive_corrupt_record(spark, tmp_path):
     assert sorted(good) == [1, 3] and len(bad) == 1
 
 
+def test_json_failfast_raises(spark, tmp_path):
+    """S2's FAILFAST analogue: the mode that turns a malformed record
+    into a hard failure (the reference's top-level 'Invalid API
+    response format' throw, task.ts:178)."""
+    import pytest
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n{broken\n')
+    df = (
+        spark.read.schema("a long")
+        .option("mode", "FAILFAST")
+        .json(str(p))
+    )
+    # surfaces as a file-read SparkException wrapping the malformed-
+    # record failure (exact exception class varies by py4j conversion)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed|FAILFAST"):
+        df.collect()
+
+
 def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
     """Partitioned layout + partition pruning: a filter on the
     partition column must prune directories (the scan's 'partition
