@@ -225,6 +225,24 @@ def x10_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of x2): wide per-flag quantity sums
+    back to long (metric, value) rows via DataFrame.unpivot (SQL
+    stack())."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("price"),
+        F.round(F.sum("l_discount"), 4).alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -237,6 +255,7 @@ QUERIES = {
     "x9_python_udtf": x9_python_udtf,
     "x10_array_hofs": x10_array_hofs,
     "x11_approx_percentile": x11_approx_percentile,
+    "x12_unpivot": x12_unpivot,
 }
 
 ORACLE = {
@@ -307,6 +326,17 @@ ORACLE = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
         FROM events
+    """,
+    "x12_unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 ROUND(SUM(l_quantity), 4) AS qty,
+                 ROUND(SUM(l_extendedprice), 4) AS price,
+                 ROUND(SUM(l_discount), 4) AS disc
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (qty, price, disc))
     """,
     "x11_approx_percentile": """
         SELECT l_returnflag,
