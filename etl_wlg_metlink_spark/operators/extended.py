@@ -243,6 +243,40 @@ def x12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x13_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured Variant type (Spark 4): parse_json once into a
+    binary Variant, then typed path extraction — the schema-on-read
+    lane for ragged JSON at scale (one parse, many cheap probes;
+    contrast d12's string re-parsing per get_json_object)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_value"),
+        F.schema_of_variant(v).alias("v_schema"),
+    )
+
+
+def x14_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic: division by zero, bad casts and
+    out-of-range element_at yield NULL instead of failing the job —
+    the error policy you want when one poisoned row must not kill a
+    100 TB pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("price_per_disc"),
+        F.try_element_at(
+            F.array(F.col("l_returnflag")), (F.col("l_linenumber") % 3).cast("int") + 1
+        ).alias("maybe_flag"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).alias("flag_as_num"),
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -256,6 +290,8 @@ QUERIES = {
     "x10_array_hofs": x10_array_hofs,
     "x11_approx_percentile": x11_approx_percentile,
     "x12_unpivot": x12_unpivot,
+    "x13_variant_json": x13_variant_json,
+    "x14_try_functions": x14_try_functions,
 }
 
 ORACLE = {
@@ -326,6 +362,23 @@ ORACLE = {
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
         FROM events
+    """,
+    "x13_variant_json": """
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k_value,
+               NULL::BIGINT AS missing_value,
+               'OBJECT<k: BIGINT>' AS v_schema
+        FROM events
+    """,
+    "x14_try_functions": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE ROUND(l_extendedprice / l_discount, 4) END
+                 AS price_per_disc,
+               CASE WHEN (l_linenumber % 3) + 1 = 1 THEN l_returnflag
+                    ELSE NULL END AS maybe_flag,
+               NULL::DOUBLE AS flag_as_num
+        FROM lineitem
     """,
     "x12_unpivot": """
         WITH wide AS (
