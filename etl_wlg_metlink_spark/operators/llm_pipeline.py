@@ -391,6 +391,35 @@ def _dot(a, b):
     )
 
 
+def _brute_topk(emb: DataFrame, n_queries: int, k: int, include_label: bool) -> DataFrame:
+    """Shared exact-cosine top-k scaffolding (l9 / l11): corpus with
+    precomputed norm, broadcast bounded query set, one non-equi
+    broadcast join, per-query window rank ≤ k. Exact double math
+    (sequential fold) so the DuckDB oracles match bit-for-bit."""
+    cols = ["vec_id", "embedding"] + (["label"] if include_label else [])
+    corpus = emb.select(
+        *cols, F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm")
+    )
+    qcols = [
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ]
+    if include_label:
+        qcols.insert(1, F.col("label").alias("own_label"))
+    q = corpus.select(*qcols).where(F.col("query_id") < n_queries)
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def l9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for a bounded query set
     (vec_id < 20): the exact-correctness baseline for ANN. The query
@@ -398,33 +427,11 @@ def l9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query window, not a global sort. The unbounded-query scale
     path is l12 (LSH buckets)."""
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    q = corpus.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    ).where(F.col("query_id") < 20)
-    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
-    )
-    scored = (
-        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", sim)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "rnk",
-            F.round("sim", 4).alias("cosine"),
-        )
+    return _brute_topk(emb, n_queries=20, k=5, include_label=False).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rnk",
+        F.round("sim", 4).alias("cosine"),
     )
 
 
@@ -544,7 +551,6 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = corpus.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     ).where(F.col("query_id") < 50)
 
@@ -553,13 +559,8 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow-batched numpy path is ~5× faster on the 250k-pair
     # brute-force side. Rows-only query, so no cross-engine float-order
     # concern.
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("double")
     def _cos(a, b):  # type: ignore[no-untyped-def]
-        import numpy as np
-        import pandas as pd
-
         x = np.stack(a.values)
         y = np.stack(b.values)
         num = (x * y).sum(axis=1)
@@ -571,7 +572,7 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Brute-force truth (small query set, broadcast).
     truth = (
-        corpus.join(F.broadcast(q.select("query_id", "q_emb", "q_norm")),
+        corpus.join(F.broadcast(q.select("query_id", "q_emb")),
                     F.col("vec_id") != F.col("query_id"))
         .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))

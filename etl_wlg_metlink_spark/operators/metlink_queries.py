@@ -27,13 +27,15 @@ _COLS = (
 )
 
 
+def _nan_null(c):
+    """NaN → NULL at the compare/JSON boundary (JSON has no NaN)."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
 def _flatten(features: DataFrame) -> DataFrame:
     f = F.col("feature")
     p = f["properties"]
     w = Window.orderBy("first_idx")
-
-    def _nan_null(c):
-        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
     return features.select(
         F.row_number().over(w).cast("long").alias("ord"),
@@ -149,9 +151,6 @@ def m4_metlink_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     features = metlink.build_features(entities, MetlinkConfig())
     f = F.col("feature")
     p = f["properties"]
-
-    def _nan_null(c):
-        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
     return features.select(
         f["id"].alias("fid"),

@@ -55,5 +55,7 @@ def all_oracles() -> dict[str, str]:
         for name, sql in getattr(mod, "ORACLE", {}).items():
             if name not in queries:
                 raise ValueError(f"oracle {name!r} in {mod.__name__} has no query")
+            if name in merged:
+                raise ValueError(f"duplicate oracle {name!r} in {mod.__name__}")
             merged[name] = sql
     return merged

@@ -55,6 +55,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # mark the session so ensure_engine_conf never overrides this
+    # builder's explicit shuffle_partitions choice
+    builder = builder.config("spark.etl_wlg_metlink.shufflePinned", "true")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -74,7 +77,12 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # Size shuffles to the machine: AQE coalesces ordinary exchanges at
     # runtime, but stateful streaming ops pin their state-store
     # partitioning to this value at query start (200 default = 200
-    # state stores on a laptop-sized run).
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    # state stores on a laptop-sized run). Only applied ONCE per
+    # session and never over an explicit choice — build_session marks
+    # its sessions, and a repeated call must not clobber a caller's
+    # setting (this runs on every tables.load()).
+    if spark.conf.get("spark.etl_wlg_metlink.shufflePinned", None) is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        spark.conf.set("spark.etl_wlg_metlink.shufflePinned", "true")
     return spark

@@ -89,13 +89,21 @@ def s4_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exactly the batch answer."""
     from etl_wlg_metlink_spark.streaming import runners
 
+    from pyspark.sql import Window
+
     stream = runners.events_stream(spark, sf_dir)
     result = runners.run_available_now(
         runners.user_track_state_stream(stream), output_mode="update"
     )
-    return result.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+    # the LAST emission per user is the final state; n_events is
+    # monotone so it orders emissions. (max(total_value) would be
+    # wrong the moment a value is negative — an intermediate running
+    # total can exceed the final one.)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
     )
 
 

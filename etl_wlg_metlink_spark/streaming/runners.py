@@ -35,20 +35,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # The file-stream source wants a directory to watch; testdata is a
-    # single read-only file, so expose it through a temp dir of
-    # symlinks (what a real deployment's landing directory is anyway).
-    import os
-    import tempfile
-
-    watch_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(path, os.path.join(watch_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(watch_dir)
+        .parquet(_watch_dir_for(path))
     )
     return _normalize_event_ts(stream)
+
+
+#: one symlink dir per source file per process — repeated calls
+#: (driver gate, bench warm+timed, tests) must not leak temp dirs
+_WATCH_DIRS: dict[str, str] = {}
+
+
+def _watch_dir_for(path: str) -> str:
+    """The file-stream source wants a directory to watch; testdata is a
+    single read-only file, so expose it through a cached temp dir of
+    symlinks (what a real deployment's landing directory is anyway)."""
+    import os
+    import tempfile
+
+    if path not in _WATCH_DIRS:
+        watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(watch_dir, os.path.basename(path)))
+        _WATCH_DIRS[path] = watch_dir
+    return _WATCH_DIRS[path]
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
