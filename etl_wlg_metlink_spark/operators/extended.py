@@ -22,6 +22,11 @@ def x1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percentile_approx / t-digest) is the 100 TB path but is
     engine-specific, so the checked query is exact."""
     li = load(spark, sf_dir, "lineitem")
+    # single-row-group test file → 1-task scan; spread the partial
+    # percentile buffering (the expensive part) across cores
+    li = li.select("l_returnflag", "l_extendedprice").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
@@ -173,6 +178,15 @@ def x8_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["user_id", "event_id", "running_value"]]
 
     events = load(spark, sf_dir, "events")
+    # Explicit hash repartition by the grouping key: AQE would coalesce
+    # the groupBy exchange to a couple of partitions (the data is tiny
+    # in bytes), serializing thousands of per-group pandas calls onto
+    # 2-3 cores. A fixed-width repartition satisfies applyInPandas's
+    # required distribution, so no second exchange is inserted and the
+    # Python stage keeps full parallelism.
+    events = events.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     return events.groupBy("user_id").applyInPandas(
         cumsum, schema="user_id long, event_id long, running_value double"
     )

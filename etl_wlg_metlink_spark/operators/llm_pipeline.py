@@ -656,22 +656,23 @@ def l14_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def l15_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with smoothed IDF (ln((N+1)/(df+1))), top-3 terms per
-    document: two hash-agg shuffles (term frequencies, document
-    frequencies) + one broadcast of the tiny df table + a per-doc
-    window — the standard distributed formulation; nothing quadratic,
-    nothing driver-side."""
+    document. Document frequency is `count(*) over (partition by word)`
+    on the (doc, word) tf table — tf already has one row per pair, so
+    the windowed count ≡ distinct-doc count, and the tf lineage
+    (explode + hash agg) executes ONCE. The earlier broadcast-join
+    formulation recomputed that lineage twice (once to collect df,
+    once for the scored join) — 2× the explode work for the same
+    shuffle count (tf agg, by-word window, by-doc window)."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     terms = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("word")
     ).where(F.col("word") != "")
     tf = terms.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    # document frequency from tf, not from a second explode: tf already
-    # has one row per (doc, word), so count-per-word ≡ distinct-doc
-    # count — half the explode/shuffle work
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar; the oracle recomputes it identically
-    scored = tf.join(F.broadcast(df_), "word").withColumn(
+    n_docs = docs.count()  # parquet-metadata count; oracle recomputes it
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("word"))
+    ).withColumn(
         "tfidf",
         F.round(
             F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 4

@@ -86,7 +86,11 @@ def _synthetic_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup chains ordered by event_id)."""
     from etl_wlg_metlink_spark.tables import load
 
-    events = load(spark, sf_dir, "events")
+    # sf0.1 events is a single parquet file → one input split; without
+    # this the whole pre-shuffle feature-build stage runs on ONE core.
+    events = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     eid = F.col("event_id")
     et = F.col("event_type")
     trip_id = (
