@@ -318,12 +318,16 @@ ORACLE = {
     """,
     "x2_pivot": """
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
-               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
-               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
-               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
-                 AS notspec,
-               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                    AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                    AS BIGINT) AS high,
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                    AS BIGINT) AS medium,
+               CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                    AS BIGINT) AS notspec,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+                    AS BIGINT) AS low
         FROM orders GROUP BY o_orderstatus
     """,
     "x3_string_funcs": """

@@ -943,8 +943,10 @@ ORACLE = {
           FROM documents
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors,
-               SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
         FROM f GROUP BY source
     """,
     "l6_minhash_near_dup": f"""

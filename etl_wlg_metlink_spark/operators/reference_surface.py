@@ -531,7 +531,8 @@ ORACLE = {
           FROM events
         )
         SELECT event_type, COUNT(*) AS n,
-               SUM(CASE WHEN isnan(speed) THEN 1 ELSE 0 END) AS n_nan,
+               CAST(SUM(CASE WHEN isnan(speed) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nan,
                ROUND(SUM(CASE WHEN NOT isnan(speed) THEN speed ELSE 0 END), 4)
                  AS sum_valid
         FROM s GROUP BY event_type
@@ -568,11 +569,11 @@ ORACLE = {
     """,
     "a3_observe_counts": """
         SELECT COUNT(*) AS received,
-               SUM(CASE WHEN value IS NOT NULL AND value <> 0 THEN 1 ELSE 0 END)
-                 AS valid,
-               SUM(CASE WHEN value IS NOT NULL AND value <> 0
+               CAST(SUM(CASE WHEN value IS NOT NULL AND value <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+               CAST(SUM(CASE WHEN value IS NOT NULL AND value <> 0
                         AND event_type IN ('click','purchase','view')
-                   THEN 1 ELSE 0 END) AS submitted
+                   THEN 1 ELSE 0 END) AS BIGINT) AS submitted
         FROM events
     """,
 }

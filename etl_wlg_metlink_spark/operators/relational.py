@@ -436,8 +436,8 @@ ORACLE = {
     "r3_left_join_orders": """
         SELECT c_mktsegment, COUNT(*) AS n_rows,
                COUNT(o_orderkey) AS n_orders,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-                 AS n_orderless_rows
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orderless_rows
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
