@@ -169,6 +169,63 @@ def m4_metlink_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m5_metlink_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 pipeline observability (task.ts:176 received count, 210-211
+    P2-P4 skip warnings, 332/340 submitted count): the composed
+    pipeline's counters over the sf-scaled synthetic entities —
+    received / dropped-by-each-filter / submitted (distinct feature
+    ids) in ONE conditional-agg pass. The same expressions ride the
+    real pipeline for free as ``df.observe()`` metrics
+    (pipelines.metlink.observe_entities; parity-tested in
+    tests/test_metlink_pipeline.py)."""
+    from etl_wlg_metlink_spark.pipelines.metlink import pipeline_metric_exprs
+
+    entities = _synthetic_entities(spark, sf_dir)
+    return entities.agg(*pipeline_metric_exprs(exact_submitted=True))
+
+
+_M5_ORACLE = """
+    WITH base AS (
+      SELECT event_id,
+             CASE event_type
+               WHEN 'error' THEN NULL
+               WHEN 'purchase' THEN 'QDF__' || event_id
+               WHEN 'signup' THEN 'MIF__' || event_id
+               WHEN 'view' THEN 'HVL__' || event_id
+               ELSE '220__' || event_id END AS trip_id,
+             (event_id % 97 = 0) AS zero_island,
+             'V' || (user_id % 50) AS vid
+      FROM events
+    ),
+    c AS (
+      SELECT *,
+             CASE
+               WHEN trip_id IS NULL OR trip_id = '' THEN NULL
+               WHEN starts_with(trip_id, 'QDF')
+                    OR string_split(trip_id, '__')[1] = 'MIF' THEN 'Ship'
+               WHEN starts_with(trip_id, 'HVL') OR starts_with(trip_id, 'JVL')
+                    OR starts_with(trip_id, 'KPL') OR starts_with(trip_id, 'MEL')
+                    OR starts_with(trip_id, 'WRL') OR starts_with(trip_id, 'MUL')
+                 THEN 'Train'
+               ELSE 'Bus' END AS vtype
+      FROM base
+    )
+    SELECT COUNT(*) AS received,
+           -- the synthetic generator always emits vehicle+position
+           CAST(0 AS BIGINT) AS dropped_missing_struct,
+           CAST(SUM(CASE WHEN zero_island THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_zero_island,
+           CAST(SUM(CASE WHEN NOT zero_island
+                          AND (trip_id IS NULL OR trip_id = '')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_falsy_trip,
+           COUNT(DISTINCT CASE WHEN NOT zero_island
+                                AND trip_id IS NOT NULL AND trip_id <> ''
+                               THEN 'WLG-Metlink' || vtype || '-' || vid END)
+             AS submitted
+    FROM c
+"""
+
+
 _OCC_LABELS = (
     "Empty", "Many seats available", "Few seats available",
     "Standing room only", "Crushed standing room only", "Full",
@@ -307,6 +364,7 @@ QUERIES = {
     "m2_metlink_config_filter": m2_metlink_config_filter,
     "m3_metlink_empty_fallback": m3_metlink_empty_fallback,
     "m4_metlink_bulk": m4_metlink_bulk,
+    "m5_metlink_observe": m5_metlink_observe,
 }
 
 ORACLE = {
@@ -314,4 +372,5 @@ ORACLE = {
     "m2_metlink_config_filter": _values_oracle(enabled=("Train", "Ship")),
     "m3_metlink_empty_fallback": _EMPTY_ORACLE,
     "m4_metlink_bulk": _M4_ORACLE,
+    "m5_metlink_observe": _M5_ORACLE,
 }

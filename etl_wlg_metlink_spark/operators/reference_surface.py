@@ -287,6 +287,35 @@ def d10_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d11_constant_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 constant enrichment (task.ts:17-24 icon paths, task.ts:297
+    stale=180000): attach the static per-classification constants
+    (icon path, marker color, stale ms) as literal/CASE columns.
+    Catalyst constant-folds the literals — zero per-row cost at scale."""
+    from etl_wlg_metlink_spark.pipelines.metlink import (
+        BUS_ICON_PATH,
+        SHIP_ICON_PATH,
+        STALE_MS,
+        TRAIN_ICON_PATH,
+    )
+
+    events = load(spark, sf_dir, "events")
+    is_ship = F.col("event_type") == "purchase"
+    is_train = F.col("event_type") == "view"
+    return events.select(
+        "event_id",
+        F.when(is_ship, SHIP_ICON_PATH)
+        .when(is_train, TRAIN_ICON_PATH)
+        .otherwise(BUS_ICON_PATH)
+        .alias("icon"),
+        F.when(is_ship, "#00FFFF")
+        .when(is_train, "#7F007F")
+        .otherwise("#007F00")
+        .alias("marker_color"),
+        F.lit(STALE_MS).cast("long").alias("stale"),
+    )
+
+
 def d12_struct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12 struct construction + JSON encode (task.ts:289-320): build a
     GeoJSON-Feature-shaped struct per event and extract fields back out
@@ -415,6 +444,7 @@ QUERIES = {
     "d8_epoch_roundtrip": d8_epoch_roundtrip,
     "d9_falsy_nan": d9_falsy_nan,
     "d10_interpolation": d10_interpolation,
+    "d11_constant_enrichment": d11_constant_enrichment,
     "d12_struct_features": d12_struct_features,
     "d13_passthrough_withfield": d13_passthrough_withfield,
     "a1_lastwins_dedup": a1_lastwins_dedup,
@@ -542,6 +572,20 @@ ORACLE = {
                printf('Route %s - %s %d', o_orderpriority, o_orderstatus, o_custkey)
                  AS callsign
         FROM orders
+    """,
+    "d11_constant_enrichment": """
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase'
+                      THEN '34ae1613-9645-4222-a9d2-e5f243dea2865/Transportation/Ship.png'
+                    WHEN event_type = 'view'
+                      THEN '34ae1613-9645-4222-a9d2-e5f243dea2865/Transportation/Train4.png'
+                    ELSE 'ad78aafb-83a6-4c07-b2b9-a897a8b6a38f/Shapes/bus.png'
+               END AS icon,
+               CASE WHEN event_type = 'purchase' THEN '#00FFFF'
+                    WHEN event_type = 'view' THEN '#7F007F'
+                    ELSE '#007F00' END AS marker_color,
+               CAST(180000 AS BIGINT) AS stale
+        FROM events
     """,
     "d12_struct_features": """
         SELECT 'EV-' || event_id AS fid, event_type AS etype,

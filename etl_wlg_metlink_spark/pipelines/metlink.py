@@ -184,6 +184,69 @@ def build_features(entities: DataFrame, config: MetlinkConfig) -> DataFrame:
     )
 
 
+def pipeline_metric_exprs(exact_submitted: bool = True) -> list:
+    """Pipeline counter aggregates over the raw entity stage — the
+    reference's console counters (task.ts:176 received entity count,
+    210-211 P2-P4 skip warnings, 332/340 submitted feature count) as
+    ONE conditional-agg pass.
+
+    Usable two ways: as a batch aggregation (m5_metlink_observe, the
+    oracle-checked form) and as ``df.observe()`` metrics riding the
+    normal pipeline pass for free (``observe_entities``). ``observe``
+    forbids DISTINCT aggregates, so the observed variant approximates
+    the submitted count with approx_count_distinct — the idiomatic
+    observability tradeoff (exactness belongs to the data path, not
+    the metrics channel).
+    """
+    e = F.col("entity")
+    trip = e["vehicle"]["trip"]
+    pos = e["vehicle"]["position"]
+    has_structs = e["vehicle"].isNotNull() & pos.isNotNull()
+    # NULL lat/lon is NOT the island (JS `undefined === 0` is false).
+    zero_island = F.coalesce(
+        (pos["latitude"] == 0) & (pos["longitude"] == 0), F.lit(False)
+    )
+    falsy_trip = trip["trip_id"].isNull() | (trip["trip_id"] == "")
+    p2_drop = ~has_structs
+    p3_drop = has_structs & zero_island
+    p4_drop = has_structs & ~zero_island & falsy_trip
+    survives = has_structs & ~zero_island & ~falsy_trip
+
+    route_id = split_head(trip["trip_id"], "__")
+    is_ship = trip["trip_id"].startswith("QDF") | (route_id == "MIF")
+    is_train = None
+    for p in TRAIN_PREFIXES:
+        cond = trip["trip_id"].startswith(p)
+        is_train = cond if is_train is None else (is_train | cond)
+    vtype = F.when(is_ship, "Ship").when(is_train, "Train").otherwise("Bus")
+    cot_id = F.concat(
+        F.lit("WLG-Metlink"), vtype, F.lit("-"), e["vehicle"]["vehicle"]["id"]
+    )
+    survivor_key = F.when(survives, cot_id)
+    submitted = (
+        F.count_distinct(survivor_key)
+        if exact_submitted
+        else F.approx_count_distinct(survivor_key)
+    )
+    return [
+        F.count(F.lit(1)).alias("received"),
+        F.sum(p2_drop.cast("long")).alias("dropped_missing_struct"),
+        F.sum(p3_drop.cast("long")).alias("dropped_zero_island"),
+        F.sum(p4_drop.cast("long")).alias("dropped_falsy_trip"),
+        submitted.alias("submitted"),
+    ]
+
+
+def observe_entities(entities: DataFrame, observation) -> DataFrame:
+    """Attach the pipeline counters as observed metrics on the entity
+    stage: zero extra pass — metrics accumulate while the pipeline
+    runs and surface through the Observation / QueryProgress channel
+    (streaming-safe, unlike a second .agg() job)."""
+    return entities.observe(
+        observation, *pipeline_metric_exprs(exact_submitted=False)
+    )
+
+
 def run(entities: DataFrame, config: MetlinkConfig | None = None) -> DataFrame:
     """Entity rows → Feature rows in Map-iteration order (task.ts
     first-insertion order), ready for the sink."""

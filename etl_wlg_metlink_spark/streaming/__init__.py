@@ -107,11 +107,29 @@ def s4_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's streaming form end-to-end through the driver gate: replay
+    events as a stream, dropDuplicatesWithinWatermark on
+    (user_id, event_type) with a 1-hour event-time watermark
+    (runners.dedup_within_watermark_stream). The single-file replay is
+    one micro-batch, so the horizon covers the whole stream and the
+    result is exactly the distinct key set — the oracle. Key-only
+    projection keeps the streaming answer deterministic (the surviving
+    physical row within a batch is partition-order-dependent)."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    return runners.run_available_now(
+        runners.dedup_within_watermark_stream(stream)
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
     "s3_session_window": s3_session_window,
     "s4_stateful_running_totals": s4_stateful_running_totals,
+    "s5_watermark_dedup": s5_watermark_dedup,
 }
 
 ORACLE = {
@@ -136,6 +154,9 @@ ORACLE = {
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(COALESCE(value, 0)), 4) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "s5_watermark_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
     "s3_session_window": """
         WITH ordered AS (

@@ -81,13 +81,20 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
 
 
 def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
-    """A1's streaming form: drop duplicate user_ids within the
-    watermark horizon (`dropDuplicatesWithinWatermark`) — bounded
-    state, unlike a global dropDuplicates which would be unbounded."""
+    """A1's streaming form (task.ts:191/297 keyed dedup): drop
+    duplicate (user_id, event_type) pairs within the watermark horizon
+    (`dropDuplicatesWithinWatermark`) — bounded state, unlike a global
+    dropDuplicates which would be unbounded.
+
+    Projects ONLY the dedup key columns: which physical row survives a
+    within-batch duplicate is partition-order-dependent (same as batch
+    dropDuplicates), so key-only projection is the deterministic,
+    oracle-checkable contract; the value-carrying batch form is
+    a1_lastwins_dedup's ordered window."""
     return (
         events.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id"])
-        .select("user_id", "event_id", "event_type")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )
 
 
@@ -169,6 +176,11 @@ def metlink_envelope_stream(
         F.from_json(F.col("value"), VEHICLE_POSITIONS_RESPONSE).alias("body")
     ).select(F.posexplode("body.entity").alias("idx", "entity")).withColumn(
         "idx", F.col("idx").cast("long")
+    )
+    # task.ts:176, 210-211, 332: per-batch pipeline counters ride the
+    # stream as observed metrics (surface in each QueryProgress event).
+    parsed = parsed.observe(
+        "metlink_pipeline", *metlink.pipeline_metric_exprs(exact_submitted=False)
     )
 
     def submit_batch(batch_df: DataFrame, batch_id: int) -> None:

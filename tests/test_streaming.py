@@ -38,12 +38,17 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
         runners.dedup_within_watermark_stream(stream),
         query_name="dedup_parity",
     )
-    got = result.collect()
-    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    got = sorted((r["user_id"], r["event_type"]) for r in result.collect())
+    expected = sorted(
+        (r["user_id"], r["event_type"])
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
     # one file → one micro-batch → horizon covers the whole replay:
-    # exactly one row per user survives
-    assert len(got) == n_users
-    assert len({r["user_id"] for r in got}) == n_users
+    # the streaming dedup is exactly the distinct key set
+    assert got == expected
 
 
 def test_stateful_track_state_parity(spark, sf_dir, tmp_path):
@@ -103,6 +108,35 @@ def test_observe_metrics(spark, sf_dir):
     n = observed.where(valid).count()
     assert obs.get["received"] == events.count()
     assert obs.get["valid"] == n
+
+
+def test_metlink_observe_parity(spark, sf_dir):
+    """M5: the .observe() metrics channel must agree with the
+    oracle-checked batch aggregation (exact counters; the observed
+    `submitted` is approx_count_distinct, so compare with rtol)."""
+    from pyspark.sql import Observation
+
+    from etl_wlg_metlink_spark.operators.metlink_queries import (
+        _synthetic_entities,
+        m5_metlink_observe,
+    )
+    from etl_wlg_metlink_spark.pipelines.metlink import observe_entities
+
+    exact = m5_metlink_observe(spark, sf_dir).collect()[0].asDict()
+
+    obs = Observation("metlink_pipeline")
+    observed_df = observe_entities(_synthetic_entities(spark, sf_dir), obs)
+    observed_df.count()  # any action through the observed node
+    got = obs.get
+    for key in (
+        "received",
+        "dropped_missing_struct",
+        "dropped_zero_island",
+        "dropped_falsy_trip",
+    ):
+        assert got[key] == exact[key], key
+    # approx_count_distinct: default rsd 5%
+    assert abs(got["submitted"] - exact["submitted"]) <= 0.1 * exact["submitted"]
 
 
 def test_metlink_envelope_stream(spark, tmp_path):
