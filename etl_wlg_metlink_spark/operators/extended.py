@@ -287,7 +287,11 @@ def x14_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(
             F.array(F.col("l_returnflag")), (F.col("l_linenumber") % 3).cast("int") + 1
         ).alias("maybe_flag"),
-        F.try_to_number(F.col("l_returnflag"), F.lit("9")).alias("flag_as_num"),
+        # cast decimal(1,0) -> double: the oracle's NULL::DOUBLE twin (and
+        # the driver's pandas-side hash) treats decimal as a distinct lane
+        F.try_to_number(F.col("l_returnflag"), F.lit("9"))
+        .cast("double")
+        .alias("flag_as_num"),
     )
 
 

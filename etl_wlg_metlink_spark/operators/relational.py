@@ -144,7 +144,12 @@ def r7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click forward with last(ignorenulls) — ONE shuffle and sort total,
     versus a per-row range lookup that Spark would otherwise plan as a
     broadcast-nested-loop. Clicks order before purchases at equal ts so
-    the `>=` (inclusive) as-of semantics match DuckDB's ASOF JOIN."""
+    the `>=` (inclusive) as-of semantics match DuckDB's ASOF JOIN.
+
+    Tie-break: two clicks sharing (user_id, ts) are ordered by click_id,
+    so the surviving as-of match is the MAX click_id at the matched
+    timestamp — the oracle pre-collapses equal-ts clicks with
+    MAX(event_id) because ASOF JOIN itself leaves the pick undefined."""
     events = load(spark, sf_dir, "events")
     clicks = events.where(F.col("event_type") == "click").select(
         "user_id",
@@ -165,7 +170,7 @@ def r7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side", "purchase_id")
+        .orderBy("ts", "side", "click_id", "purchase_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -470,7 +475,10 @@ ORACLE = {
                ROUND(p.value, 4) AS purchase_value,
                c.event_id AS last_click_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, MAX(event_id) AS event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ) c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "r8_rollup": """

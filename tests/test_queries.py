@@ -41,3 +41,44 @@ def test_entry_flagship(spark):
     rows = entry(spark).collect()
     assert len(rows) > 0
     assert {"l_returnflag", "l_linestatus", "sum_qty"} <= set(rows[0].asDict())
+
+
+def test_r7_asof_tie_break_deterministic(spark, tmp_path):
+    """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
+    (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
+    leaving equal-ts clicks nondeterministically ordered)."""
+    import datetime as dt
+
+    from etl_wlg_metlink_spark.operators.relational import r7_asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # two clicks at the SAME (user, ts) — the tie under test
+        (10, t0, 1, "click", None, None),
+        (11, t0, 1, "click", None, None),
+        # purchase exactly at the tie ts (inclusive >=) and one later
+        (20, t0, 1, "purchase", 5.0, None),
+        (21, t0 + dt.timedelta(seconds=30), 1, "purchase", 7.0, None),
+        # control user: single click then purchase
+        (12, t0, 2, "click", None, None),
+        (22, t0 + dt.timedelta(seconds=10), 2, "purchase", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["purchase_id"]: r["last_click_id"]
+        for r in r7_asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {20: 11, 21: 11, 22: 12}
+    # determinism across re-runs (same plan, fresh execution)
+    for _ in range(3):
+        again = {
+            r["purchase_id"]: r["last_click_id"]
+            for r in r7_asof_join(spark, str(tmp_path)).collect()
+        }
+        assert again == got

