@@ -286,11 +286,43 @@ def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l7's own MinHash family: 16 permutations in 4 bands of 4 rows. Sized
+#: empirically on the test corpus (baseline char-4-gram Jaccard between
+#: unrelated docs ≈ 0.26, near-dups ≥ 0.5): r=4 puts the LSH s-curve
+#: between those — 13% of the pair space scanned, 25/25 true pairs
+#: recalled at sf0.01. Same universal-hash formula as UH_PARAMS so the
+#: DuckDB oracle reuses the arithmetic.
+N_MH_L7 = 16
+N_BANDS_L7 = 4  # rows-per-band = 4
+UH_PARAMS_L7: tuple[tuple[int, int], ...] = tuple(
+    (2 * s + 3, 104729 * (s + 1)) for s in range(N_MH_L7)
+)
+
+
+def _uh_perm(a: int, b: int):
+    # single-arg closure: Spark derives HOF arity from the lambda signature
+    def f(h):
+        return (h * F.lit(a) + F.lit(b)) % MERSENNE_P
+
+    return f
+
+
 def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard similarity, bucketed by (lang, source):
-    pairwise comparison ONLY within a bucket (the blocking key bounds
-    the quadratic term — at 100 TB you block on something with bounded
-    bucket size, never globally)."""
+    """Character-4-gram Jaccard near-dup pairs (≥ 0.5), with candidate
+    pairs generated by banded MinHash-LSH over the gram hashes — NOT by
+    a bounded-cardinality blocking key. Earlier rounds blocked on
+    (lang, source), which is O(n²/k) at scale because the bucket count
+    is a constant; band buckets here are keyed by minhash values, so
+    the bucket count grows with the corpus and per-bucket size stays
+    bounded (VERDICT r3 item 5).
+
+    Pipeline: distinct char-4-grams → one md5 per gram → 16 integer
+    permutations → 4 bands of 4 → equi-self-join on (band_id, band_key)
+    → exact Jaccard verify on the distinct gram-hash sets. One shuffle
+    for the band join, one for the pair distinct; never all-pairs.
+    Banded LSH is probabilistically complete (recall 1-(1-j⁴)⁴ at
+    similarity j); the oracle mirrors the banding so both engines see
+    the identical candidate set."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     text = F.col("text")
@@ -301,21 +333,54 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sequence(F.lit(1), F.length(text) - 3), grams_fn)
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", "lang", "source", cg.alias("cg"))
-    a, b = base.alias("a"), base.alias("b")
-    jac = F.size(F.array_intersect("a.cg", "b.cg")) / F.size(
-        F.array_union("a.cg", "b.cg")
+    base = docs.select("doc_id", cg.alias("cg")).where(F.size("cg") > 0)
+    hashed = base.select(
+        "doc_id",
+        F.transform(F.col("cg"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _uh_perm(a, b))).alias(f"mh{s}")
+            for s, (a, b) in enumerate(UH_PARAMS_L7)
+        ],
+    )
+    rows = N_MH_L7 // N_BANDS_L7
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "_", *[F.col(f"mh{rows * bi + j}") for j in range(rows)]
+                )
+            ).alias("band_key"),
+        )
+        for bi in range(N_BANDS_L7)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    hset = F.array_distinct(F.col("hs"))
+    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
+    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
+    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
+        F.array_union("sh_i", "sh_j")
     )
     return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(si, "doc_i")
+        .join(sj, "doc_j")
         .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
-            "jaccard",
-        )
+        .select("doc_i", "doc_j", "jaccard")
     )
 
 
@@ -612,45 +677,99 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l14's sign-bucket sketch: 8 md5-derived INTEGER hyperplanes over
+#: millimeter-quantized embeddings. Quantizing to floor(x·1000) makes
+#: the whole sketch exact integer arithmetic — order-independent, so
+#: Spark's numpy matmul and DuckDB's list_sum produce bit-identical
+#: buckets and the oracle can mirror the blocking. Plane count scales
+#: as ~log2(corpus / target bucket size); 8 → 256 buckets fits the test
+#: corpus, a 100 TB run would use 24-30.
+N_PLANES_COS = 8
+
+
+def _cos_planes_int() -> "np.ndarray":
+    import hashlib
+
+    return np.array(
+        [
+            [
+                int(hashlib.md5(f"l14plane{p}_{d}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000
+                for d in range(64)
+            ]
+            for p in range(N_PLANES_COS)
+        ],
+        dtype=np.int64,
+    )
+
+
 def l14_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection, blocked by label: the top-3
-    most-similar vector pairs within each label block. Blocking bounds
-    the quadratic pair space (like l7's lang/source blocks); the
-    per-block ranking is a window, not a global sort. On real corpora
-    the block key is a coarse cluster/LSH bucket."""
+    """Embedding-cosine near-dup detection blocked by a random-
+    hyperplane LSH sign bucket (VERDICT r3 item 4 — earlier rounds
+    blocked on `label`, a ~10-value key whose buckets grow linearly
+    with the corpus; sign buckets are data-derived, so the bucket count
+    grows with corpus size and per-bucket occupancy stays bounded).
+
+    Candidate pairs = buckets within Hamming distance 1, generated
+    scale-safely by a multi-probe EQUI-join: side A explodes to its
+    bucket plus the 8 one-bit-flipped probes, side B keeps its identity
+    bucket — every Hamming ≤ 1 pair collides exactly once, no
+    cross-join, one shuffle. Candidates are verified with the exact
+    float cosine and the global top-25 is taken via orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k then a driver merge,
+    never a single-partition sort). The oracle states the same
+    candidate set declaratively (bit_count(xor) ≤ 1) — quadratic is
+    fine for DuckDB at oracle scale, while the engine runs the
+    equi-join form."""
+    from pyspark.sql.functions import pandas_udf
+
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
+
+    planes = _cos_planes_int()
+    weights = 1 << np.arange(N_PLANES_COS)
+
+    @pandas_udf("long")
+    def _bucket(emb_col: pd.Series) -> pd.Series:
+        x = np.stack(emb_col.values).astype(np.float64)
+        q = np.floor(x * 1000.0).astype(np.int64)  # exact on both engines
+        signs = (q @ planes.T) > 0
+        return pd.Series((signs * weights).sum(axis=1))
+
     corpus = emb.select(
-        "label",
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        _bucket(F.col("embedding")).alias("bucket"),
+    )
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(N_PLANES_COS)
+        ],
     )
     a = corpus.select(
-        "label",
         F.col("vec_id").alias("vec_i"),
         F.col("embedding").alias("e_i"),
         F.col("norm").alias("n_i"),
+        F.explode(probe_keys).alias("probe"),
     )
     b = corpus.select(
-        "label",
         F.col("vec_id").alias("vec_j"),
         F.col("embedding").alias("e_j"),
         F.col("norm").alias("n_j"),
+        F.col("bucket").alias("probe"),
     )
     sim = _dot(F.col("e_i"), F.col("e_j")) / (F.col("n_i") * F.col("n_j"))
-    pairs = (
-        a.join(b, "label")
+    return (
+        a.join(b, "probe")
         .where(F.col("vec_i") < F.col("vec_j"))
         .withColumn("cosine", F.round(sim, 4))
-    )
-    w = Window.partitionBy("label").orderBy(
-        F.col("cosine").desc(), F.col("vec_i"), F.col("vec_j")
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("label", "vec_i", "vec_j", "cosine", "rnk")
+        .select("vec_i", "vec_j", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_i", "vec_j")
+        .limit(25)
     )
 
 
@@ -847,6 +966,20 @@ _DUCK_BAND_KEY = " ".join(
     for b in range(N_BANDS)
 )
 
+_DUCK_MH_L7 = ",\n".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{s}"
+    for s, (a, b) in enumerate(UH_PARAMS_L7)
+)
+_DUCK_BAND_KEY_L7 = " ".join(
+    "WHEN {b} THEN md5({key})".format(
+        b=b,
+        key=" || '_' || ".join(
+            f"mh{4 * b + j}::VARCHAR" for j in range(N_MH_L7 // N_BANDS_L7)
+        ),
+    )
+    for b in range(N_BANDS_L7)
+)
+
 _DUCK_SIMHASH_SUMS = ",\n".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN c ELSE -c END) AS b{b}"
     for b in range(SIMHASH_BITS)
@@ -986,25 +1119,49 @@ ORACLE = {
         )
         SELECT doc_i, doc_j, jaccard FROM v WHERE jaccard >= 0.8
     """,
-    "l7_ngram_jaccard": """
+    "l7_ngram_jaccard": f"""
         WITH g AS (
-          SELECT doc_id, lang, source,
+          SELECT doc_id,
                  CASE WHEN length(text) >= 4 THEN list_distinct(
                    list_transform(range(1, length(text) - 2),
                      i -> substr(text, i, 4)))
                  ELSE [] END AS cg
           FROM documents
         ),
-        p AS (
-          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-                 ROUND(len(list_intersect(a.cg, b.cg))::DOUBLE
-                       / len(list_distinct(list_concat(a.cg, b.cg))), 4)
-                   AS jaccard
-          FROM g a JOIN g b
-            ON a.lang = b.lang AND a.source = b.source
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(cg, x ->
+                   {_duck_md5_int60('x')} % {MERSENNE_P}) AS hs
+          FROM g WHERE len(cg) > 0
+        ),
+        sig AS (
+          SELECT doc_id, {_DUCK_MH_L7}
+          FROM hashed
+        ),
+        bands AS (
+          SELECT doc_id, b.band_id,
+                 CASE b.band_id {_DUCK_BAND_KEY_L7} END AS band_key
+          FROM sig, (VALUES (0), (1), (2), (3)) AS b(band_id)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
+        ),
+        hsets AS (
+          SELECT doc_id, list_distinct(hs) AS hset FROM hashed
+        ),
+        v AS (
+          SELECT doc_i, doc_j,
+                 ROUND(len(list_intersect(x.hset, y.hset))::DOUBLE
+                       / len(list_distinct(list_concat(x.hset, y.hset))), 4)
+                   AS jaccard
+          FROM cand
+          JOIN hsets x ON cand.doc_i = x.doc_id
+          JOIN hsets y ON cand.doc_j = y.doc_id
         )
-        SELECT doc_i, doc_j, jaccard FROM p WHERE jaccard >= 0.5
+        SELECT doc_i, doc_j, jaccard FROM v WHERE jaccard >= 0.5
     """,
     "l8_simhash_pairs": f"""
         WITH t AS (
@@ -1097,18 +1254,36 @@ ORACLE = {
     """,
     "l14_cosine_near_dup": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),
+        planes AS (
+          SELECT p, list_transform(range(0, 64), d ->
+            {_duck_md5_int60("'l14plane' || p::VARCHAR || '_' || d::VARCHAR")}
+              % 2001 - 1000) AS w
+          FROM range(0, {N_PLANES_COS}) tp(p)
+        ),
+        q AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qe
+          FROM c
+        ),
+        bk AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN list_sum(
+                     list_transform(range(1, 65), i -> qe[i] * w[i])) > 0
+                   THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM q, planes GROUP BY vec_id
+        ),
         p AS (
-          SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
+          SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
                  ROUND(list_sum(list_transform(range(1, 65),
                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                        / (a.norm * b.norm), 4) AS cosine
-          FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          JOIN bk x ON x.vec_id = a.vec_id
+          JOIN bk y ON y.vec_id = b.vec_id
+          WHERE bit_count(xor(x.bucket, y.bucket)) <= 1
         )
-        SELECT label, vec_i, vec_j, cosine, rnk FROM (
-          SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY label ORDER BY cosine DESC, vec_i, vec_j) AS rnk
-          FROM p
-        ) WHERE rnk <= 3
+        SELECT vec_i, vec_j, cosine FROM p
+        ORDER BY cosine DESC, vec_i, vec_j LIMIT 25
     """,
     "l15_tfidf_top_terms": """
         WITH terms AS (

@@ -116,6 +116,43 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
+def run_until_idle(
+    stream_df: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "append",
+    idle_reports: int = 3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drain a pull-based source (e.g. the metlink_poll DataSource)
+    through as many micro-batches as it has data, then stop.
+
+    Python DataSources don't support Trigger.AvailableNow (the engine
+    falls back to ONE batch, losing every poll after the first), so
+    this runs a processingTime=0 trigger and stops after several
+    consecutive zero-input progress reports — the "caught up" signal a
+    resident poller would otherwise never emit."""
+    import time
+
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    idle = 0
+    while time.time() < deadline and idle < idle_reports:
+        time.sleep(0.25)
+        p = q.lastProgress
+        if p is not None:
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    q.stop()
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
 def user_track_state_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState — the
     per-key running-track state the reference approximates with stable

@@ -164,3 +164,59 @@ def test_metlink_envelope_stream(spark, tmp_path):
     assert [f["id"] for f in captured[1]["features"]] == [
         f["id"] for f in oracle_features(second["entity"])
     ]
+
+
+def test_metlink_poll_datasource_two_snapshots(spark, tmp_path):
+    """Resident-poller lifecycle (task.ts:122, 150-167) through the
+    Spark 4 Python DataSource: two snapshot files → two polls → the
+    union of both envelopes' entities, each row tagged with its poll;
+    per-snapshot entity sets must match the batch parser exactly."""
+    from etl_wlg_metlink_spark.sources import poll_source
+    from etl_wlg_metlink_spark.sources.gtfs import entities_from_json
+
+    snap1 = json.loads(RAW_JSON)
+    snap2 = json.loads(RAW_JSON)
+    # second poll: first entity disappears, ids shift — a fresh snapshot
+    snap2["entity"] = snap2["entity"][1:]
+    (tmp_path / "s0.json").write_text(json.dumps(snap1))
+    (tmp_path / "s1.json").write_text(json.dumps(snap2))
+
+    stream = poll_source.metlink_poll_stream(spark, str(tmp_path))
+    result = runners.run_until_idle(stream, query_name="poll_parity")
+    got = result.collect()
+
+    def _ent_json(row):
+        ent = row["entity"]
+        return json.dumps(
+            ent.asDict(recursive=True) if ent is not None else None,
+            sort_keys=True,
+            default=str,
+        )
+
+    for poll_id, snap in [(0, snap1), (1, snap2)]:
+        stream_ents = sorted(
+            _ent_json(r) for r in got if r["poll_id"] == poll_id
+        )
+        batch_ents = sorted(
+            _ent_json(r)
+            for r in entities_from_json(spark, json.dumps(snap)).collect()
+        )
+        assert stream_ents == batch_ents and len(stream_ents) > 0
+
+
+def test_metlink_poll_datasource_bad_envelope_keeps_running(spark, tmp_path):
+    """A malformed poll must not kill the resident query: it surfaces
+    as a NULL-entity row (the caller's drop/observe path), and later
+    good polls still arrive."""
+    from etl_wlg_metlink_spark.sources import poll_source
+
+    (tmp_path / "a.json").write_text("{not valid json")
+    (tmp_path / "b.json").write_text(RAW_JSON)
+
+    stream = poll_source.metlink_poll_stream(spark, str(tmp_path))
+    result = runners.run_until_idle(stream, query_name="poll_bad_env")
+    got = result.collect()
+    bad = [r for r in got if r["poll_id"] == 0]
+    good = [r for r in got if r["poll_id"] == 1]
+    assert len(bad) == 1 and bad[0]["entity"] is None
+    assert len(good) > 0 and all(r["entity"] is not None for r in good)
