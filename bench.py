@@ -37,6 +37,13 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Deterministic cleanup BETWEEN measurements (JMH-style): drop
+        # cached plans and force the JVM cleaner now, so accumulated
+        # shuffle/broadcast garbage from ~166 prior runs never GCs
+        # inside a later query's timed window (observed as a random
+        # 10-16 s spike hitting a different late query each bench run).
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -9,8 +9,7 @@ is md5-derived (both engines agree byte-for-byte), never engine-native
 
 Scale rules:
 - near-dup detection is banded MinHash-LSH — candidate pairs only
-  within a band bucket, NEVER an all-pairs cross join;
-- char-ngram jaccard pairs are bucketed by (lang, source);
+  within a band bucket, NEVER an all-pairs cross join (l6, l7, l8);
 - ANN: brute-force cosine only for a bounded query set (broadcast);
   the unbounded path is the LSH variant (l12);
 - everything except the explicitly-marked Pandas-UDF multimodal path
@@ -21,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -240,6 +240,11 @@ def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one md5 per shingle; the N_MINHASH permutations are integer-only
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
+    # The DAG below is a diamond: `hashed` feeds the signature/band
+    # lineage AND both sides of the verify join. Persist it so the
+    # md5-per-shingle stage runs once, not three times (MEMORY_AND_DISK:
+    # at 100 TB the hash arrays spill rather than evict-and-recompute).
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sig = hashed.select(
         "doc_id",
         *[
@@ -286,14 +291,18 @@ def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: l7's own MinHash family: 16 permutations in 4 bands of 4 rows. Sized
-#: empirically on the test corpus (baseline char-4-gram Jaccard between
-#: unrelated docs ≈ 0.26, near-dups ≥ 0.5): r=4 puts the LSH s-curve
-#: between those — 13% of the pair space scanned, 25/25 true pairs
-#: recalled at sf0.01. Same universal-hash formula as UH_PARAMS so the
-#: DuckDB oracle reuses the arithmetic.
-N_MH_L7 = 16
-N_BANDS_L7 = 4  # rows-per-band = 4
+#: l7's own MinHash family: 64 permutations in 8 bands of 8 rows. Sized
+#: empirically on the test corpus: baseline char-4-gram Jaccard between
+#: unrelated docs is ~0.42 (short English-ish texts share most common
+#: 4-grams) while the true near-dup cluster sits at j >= 0.8. r=8 puts
+#: the s-curve between them — P(candidate | 0.42) ~ 0.8% vs the ~12%
+#: r=4 allowed (1.5M pairs at sf0.1, which made the exact-verify stage
+#: the whole query cost), and P(candidate | 0.9) ~ 99%. Same
+#: universal-hash formula as UH_PARAMS so the DuckDB oracle reuses the
+#: arithmetic; h < 2^31 and a <= 129 keep h*a+b far inside int64 on
+#: both engines.
+N_MH_L7 = 64
+N_BANDS_L7 = 8  # rows-per-band = 8
 UH_PARAMS_L7: tuple[tuple[int, int], ...] = tuple(
     (2 * s + 3, 104729 * (s + 1)) for s in range(N_MH_L7)
 )
@@ -316,13 +325,14 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket count grows with the corpus and per-bucket size stays
     bounded (VERDICT r3 item 5).
 
-    Pipeline: distinct char-4-grams → one md5 per gram → 16 integer
-    permutations → 4 bands of 4 → equi-self-join on (band_id, band_key)
+    Pipeline: distinct char-4-grams → one md5 per gram → 64 integer
+    permutations → 8 bands of 8 → equi-self-join on (band_id, band_key)
     → exact Jaccard verify on the distinct gram-hash sets. One shuffle
     for the band join, one for the pair distinct; never all-pairs.
-    Banded LSH is probabilistically complete (recall 1-(1-j⁴)⁴ at
-    similarity j); the oracle mirrors the banding so both engines see
-    the identical candidate set."""
+    Banded LSH is probabilistically complete (recall 1-(1-j⁸)⁸ at
+    similarity j — ~99% at the corpus's real dup cluster j≥0.9, <1% at
+    its 0.42 baseline); the oracle mirrors the banding so both engines
+    see the identical candidate set."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     text = F.col("text")
@@ -338,6 +348,8 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.col("cg"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
+    # Same diamond as l6: one md5-per-gram pass instead of three.
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     sig = hashed.select(
         "doc_id",
         *[
@@ -881,6 +893,171 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF coarse-quantizer sizing: one seed per IVF_SEED_MOD vectors, so
+#: the cell count grows linearly with the corpus while expected cell
+#: size stays ~constant — at 100 TB the per-query probe cost is
+#: nprobe × cell_size regardless of corpus size. Seeds are data rows
+#: picked by a deterministic id rule (vec_id % mod == 0), which both
+#: engines reproduce without any training iteration.
+IVF_SEED_MOD = 50
+IVF_NPROBE = 3
+
+
+def l17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbor — the second ANN scale
+    path next to l12's LSH (the brief asks for "IVF or LSH"; the
+    engine ships both). Inverted-file structure:
+
+      1. coarse cells: every IVF_SEED_MOD-th vector is a seed
+         centroid (deterministic, no Lloyd iterations — a trained
+         quantizer would slot in via l16's k-means);
+      2. assignment: each corpus vector joins the broadcast seed set
+         and keeps its max-cosine cell (one map-side broadcast join +
+         one partial-agg shuffle on vec_id — never all-pairs);
+      3. search: each query (vec_id < 20, same set as l9) probes its
+         IVF_NPROBE nearest cells and ranks candidates from those
+         cells only by exact cosine.
+
+    Output schema matches l9_cosine_topk exactly, so ANN recall is the
+    visible diff between the two result sets. Every float is the same
+    sequential-fold double math as l9, making the whole index
+    SQL-expressible — this ANN path has a full DuckDB oracle rather
+    than a rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    seeds = corpus.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    seed_sim = _dot(F.col("embedding"), F.col("s_emb")) / (
+        F.col("norm") * F.col("s_norm")
+    )
+    # argmax cell per vector via max(struct): partial-aggregates map-side,
+    # cheaper than a window sort over the N×K assignment pairs. The
+    # negated seed_id makes the tie-break "smaller seed wins".
+    assign = (
+        corpus.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.struct(seed_sim.alias("s"), (-F.col("seed_id")).alias("n")).alias("sn"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("norm").alias("norm"),
+            (-F.max("sn").getField("n")).alias("cell"),
+        )
+    )
+    qprobe_w = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("seed_id")
+    )
+    qprobe = (
+        corpus.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        .join(F.broadcast(seeds))
+        .withColumn(
+            "q_sim",
+            _dot(F.col("q_emb"), F.col("s_emb")) / (F.col("q_norm") * F.col("s_norm")),
+        )
+        .withColumn("pr", F.row_number().over(qprobe_w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "q_norm", F.col("seed_id").alias("cell"))
+    )
+    # Each vector lives in exactly one cell, so the cell join yields each
+    # (query, candidate) pair at most once — no distinct needed.
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        assign.join(
+            F.broadcast(qprobe),
+            (assign["cell"] == qprobe["cell"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("sim", 4).alias("cosine"),
+        )
+    )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 table A1 uses
+#: 0.20 for top-2-gram fraction; the dup-word bound is the analogous
+#: word-level signal). Documents above either bound would be dropped
+#: by a pretraining quality filter.
+REP_TOP_2GRAM_MAX = 0.20
+REP_DUP_WORD_MAX = 0.30
+
+
+def l18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering for pretraining corpora
+    (Gopher rules): per document the fraction of word-2-grams taken by
+    the single most frequent 2-gram, the duplicate-word fraction, and
+    the resulting would-filter flag.
+
+    dup_word_frac is a pure narrow expression (array_distinct / size —
+    no shuffle); the top-2-gram stat is explode → two partial
+    aggregations (map-side combine on (doc_id, gram), then doc_id), the
+    canonical linear-scale shape. Documents with fewer than two words
+    get a null 2-gram fraction and are never flagged by it."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    base = docs.select("doc_id", ws.alias("ws"))
+    # 2-grams: positions i, i+1 (element_at is 1-indexed)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+        ),
+    )
+    twog = (
+        base.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n2"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("n2"), 4).alias("top_2gram_frac"),
+        )
+    )
+    dup = base.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("ws")) / F.size("ws").cast("double"),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    return dup.join(twog, "doc_id", "left").select(
+        "doc_id",
+        "top_2gram_frac",
+        "dup_word_frac",
+        (
+            (F.coalesce("top_2gram_frac", F.lit(0.0)) > REP_TOP_2GRAM_MAX)
+            | (F.col("dup_word_frac") > REP_DUP_WORD_MAX)
+        ).alias("would_filter"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (l13)
 # --------------------------------------------------------------------------
@@ -944,6 +1121,8 @@ QUERIES = {
     "l14_cosine_near_dup": l14_cosine_near_dup,
     "l15_tfidf_top_terms": l15_tfidf_top_terms,
     "l16_kmeans": l16_kmeans,
+    "l17_ivf_ann": l17_ivf_ann,
+    "l18_repetition_filter": l18_repetition_filter,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -970,15 +1149,17 @@ _DUCK_MH_L7 = ",\n".join(
     f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{s}"
     for s, (a, b) in enumerate(UH_PARAMS_L7)
 )
+_ROWS_L7 = N_MH_L7 // N_BANDS_L7
 _DUCK_BAND_KEY_L7 = " ".join(
     "WHEN {b} THEN md5({key})".format(
         b=b,
         key=" || '_' || ".join(
-            f"mh{4 * b + j}::VARCHAR" for j in range(N_MH_L7 // N_BANDS_L7)
+            f"mh{_ROWS_L7 * b + j}::VARCHAR" for j in range(_ROWS_L7)
         ),
     )
     for b in range(N_BANDS_L7)
 )
+_DUCK_BAND_VALUES_L7 = ", ".join(f"({b})" for b in range(N_BANDS_L7))
 
 _DUCK_SIMHASH_SUMS = ",\n".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN c ELSE -c END) AS b{b}"
@@ -1141,7 +1322,7 @@ ORACLE = {
         bands AS (
           SELECT doc_id, b.band_id,
                  CASE b.band_id {_DUCK_BAND_KEY_L7} END AS band_key
-          FROM sig, (VALUES (0), (1), (2), (3)) AS b(band_id)
+          FROM sig, (VALUES {_DUCK_BAND_VALUES_L7}) AS b(band_id)
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
@@ -1251,6 +1432,79 @@ ORACLE = {
             PARTITION BY query_id ORDER BY c DESC, label) AS vr
           FROM votes
         ) WHERE vr = 1
+    """,
+    "l18_repetition_filter": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i+1])) AS g
+          FROM w WHERE len(ws) >= 2
+        ),
+        gc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id,
+                 ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 4) AS top_2gram_frac
+          FROM gc GROUP BY 1
+        ),
+        dup AS (
+          SELECT doc_id,
+                 ROUND(1 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
+                   AS dup_word_frac
+          FROM w
+        )
+        SELECT dup.doc_id, top_2gram_frac, dup_word_frac,
+               COALESCE(top_2gram_frac, 0) > {REP_TOP_2GRAM_MAX}
+                 OR dup_word_frac > {REP_DUP_WORD_MAX} AS would_filter
+        FROM dup LEFT JOIN top ON dup.doc_id = top.doc_id
+    """,
+    "l17_ivf_ann": f"""
+        WITH c AS ({_DUCK_COSINE_CORPUS}),
+        seeds AS (
+          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+        ),
+        assign AS (
+          SELECT vec_id, embedding, norm, seed_id AS cell FROM (
+            SELECT c.vec_id, c.embedding, c.norm, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS ar
+            FROM c, seeds
+          ) WHERE ar = 1
+        ),
+        qprobe AS (
+          SELECT query_id, qe, qn, seed_id AS cell FROM (
+            SELECT c.vec_id AS query_id, c.embedding AS qe, c.norm AS qn,
+                   seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS pr
+            FROM c, seeds WHERE c.vec_id < 20
+          ) WHERE pr <= {IVF_NPROBE}
+        ),
+        s AS (
+          SELECT query_id, a.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> qe[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                   / (qn * a.norm) AS sim
+          FROM qprobe q JOIN assign a
+            ON a.cell = q.cell AND a.vec_id <> q.query_id
+        ),
+        r AS (
+          SELECT query_id, vec_id AS neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+          FROM s
+        )
+        SELECT query_id, neighbor_id, rnk, ROUND(sim, 4) AS cosine
+        FROM r WHERE rnk <= 5
     """,
     "l14_cosine_near_dup": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),

@@ -35,6 +35,10 @@ def _nan_null(c):
 def _flatten(features: DataFrame) -> DataFrame:
     f = F.col("feature")
     p = f["properties"]
+    # Unpartitioned window = single partition: acceptable ONLY because
+    # m1-m3 flatten the bounded fixture envelope (tens of rows) for the
+    # oracle compare; the at-scale composed pipeline (m4) never ranks
+    # globally.
     w = Window.orderBy("first_idx")
 
     return features.select(

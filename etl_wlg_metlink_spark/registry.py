@@ -80,6 +80,7 @@ _ORDER = (
     "s3_session_window",
     "s4_stateful_running_totals",
     "s5_watermark_dedup",
+    "s6_stream_static_join",
     # 3. SURVEY §2 core operator inventory (P1-P6, D1-D13, A1-A3)
     "p1_explode_tokens",
     "p2_null_filter",
@@ -120,6 +121,8 @@ _ORDER = (
     "l14_cosine_near_dup",
     "l15_tfidf_top_terms",
     "l16_kmeans",
+    "l17_ivf_ann",
+    "l18_repetition_filter",
 )
 
 

@@ -124,12 +124,30 @@ def s5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join end-to-end through the driver
+    gate: replay events as a stream, broadcast-join the static
+    customer dim, aggregate per (mktsegment, event_type)
+    (runners.stream_static_enrich_stream, complete mode). The
+    availableNow replay is one micro-batch, so the streaming result
+    equals the batch join+aggregate — the oracle."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    return runners.run_available_now(
+        runners.stream_static_enrich_stream(stream, customer),
+        output_mode="complete",
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
     "s3_session_window": s3_session_window,
     "s4_stateful_running_totals": s4_stateful_running_totals,
     "s5_watermark_dedup": s5_watermark_dedup,
+    "s6_stream_static_join": s6_stream_static_join,
 }
 
 ORACLE = {
@@ -157,6 +175,12 @@ ORACLE = {
     """,
     "s5_watermark_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "s6_stream_static_join": """
+        SELECT c_mktsegment AS mktsegment, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
     """,
     "s3_session_window": """
         WITH ordered AS (

@@ -98,6 +98,23 @@ def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join — the canonical streaming enrichment shape:
+    every micro-batch of the event stream joins the static customer
+    dimension (broadcast, so the stream side never shuffles for the
+    join) and aggregates per (mktsegment, event_type). Spark re-plans
+    the static side per micro-batch, which is what makes slowly-
+    changing dims pick up updates between batches at no extra cost."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str | None = None, output_mode: str = "append"
 ) -> DataFrame:

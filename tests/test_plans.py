@@ -22,6 +22,7 @@ BNLJ_OK = {
     "l9_cosine_topk",
     "l11_knn_label_vote",
     "l12_lsh_ann_recall",
+    "l17_ivf_ann",  # N×K seed-assignment scoring against broadcast seeds
 }
 
 

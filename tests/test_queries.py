@@ -43,6 +43,41 @@ def test_entry_flagship(spark):
     assert {"l_returnflag", "l_linestatus", "sum_qty"} <= set(rows[0].asDict())
 
 
+def test_l17_ivf_consistent_with_exact(spark, sf_dir):
+    """IVF is an *approximation of l9*: for every (query, neighbor)
+    pair both report, the cosine must be identical (same double math),
+    and l17's neighbor set per query must be a subset of candidates
+    the exact ranking could produce — recall over the shared query set
+    must be positive (the probed cells contain real neighbors)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in queries()["l9_cosine_topk"](spark, sf_dir).collect()
+    }
+    ann_rows = queries()["l17_ivf_ann"](spark, sf_dir).collect()
+    assert ann_rows, "IVF returned no neighbors"
+    hits = 0
+    for r in ann_rows:
+        assert 1 <= r["rnk"] <= 5
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            hits += 1
+            assert exact[key] == r["cosine"], f"cosine mismatch for {key}"
+    assert hits > 0, "IVF found none of the exact top-5 neighbors"
+
+
+def test_l18_repetition_invariants(spark, sf_dir):
+    rows = queries()["l18_repetition_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["top_2gram_frac"] is not None:
+            assert 0.0 < r["top_2gram_frac"] <= 1.0
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+        expect = ((r["top_2gram_frac"] or 0.0) > 0.20) or (
+            r["dup_word_frac"] > 0.30
+        )
+        assert r["would_filter"] == expect
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
