@@ -1104,6 +1104,55 @@ def l13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(extract, schema=out_schema)
 
 
+N_FRAMES = 3
+FRAME_LEN = 16  # chars per sampled "frame"
+
+
+def l19_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: the 1:N batch shape (one
+    input payload → several sampled frames) that video/audio pipelines
+    need, complementing l13's 1:1 feature extraction. The payload is
+    an opaque binary column; the Python lane really decodes it
+    (UTF-8 — the stand-in for an image/video codec) and cuts N_FRAMES
+    evenly-spaced FRAME_LEN-char windows, emitting one row per frame
+    through `mapInPandas` (Arrow-batched, cardinality-changing).
+
+    Frame offsets are computed in CHARACTERS from the decoded text, so
+    the DuckDB oracle reproduces every frame with substr() — the
+    Python decode lane stays fully oracle-checked. Docs shorter than
+    one frame are skipped (no partial frames)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    out_schema = "doc_id long, frame_idx int, frame_off int, frame_md5 string"
+
+    def sample(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")  # the "codec"
+                n = len(text)
+                if n < FRAME_LEN:
+                    continue
+                # evenly spaced: frame k starts at floor(k*(n-L)/(N-1))
+                for k in range(N_FRAMES):
+                    off = (k * (n - FRAME_LEN)) // (N_FRAMES - 1)
+                    frame = text[off : off + FRAME_LEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_off"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(sample, schema=out_schema)
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1123,6 +1172,7 @@ QUERIES = {
     "l16_kmeans": l16_kmeans,
     "l17_ivf_ann": l17_ivf_ann,
     "l18_repetition_filter": l18_repetition_filter,
+    "l19_frame_sample": l19_frame_sample,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1432,6 +1482,19 @@ ORACLE = {
             PARTITION BY query_id ORDER BY c DESC, label) AS vr
           FROM votes
         ) WHERE vr = 1
+    """,
+    "l19_frame_sample": f"""
+        WITH f AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE length(text) >= {FRAME_LEN}
+        )
+        SELECT doc_id, CAST(k AS INT) AS frame_idx,
+               CAST((k * (n - {FRAME_LEN})) // {N_FRAMES - 1} AS INT)
+                 AS frame_off,
+               md5(substr(text,
+                     CAST((k * (n - {FRAME_LEN})) // {N_FRAMES - 1} AS INT) + 1,
+                     {FRAME_LEN})) AS frame_md5
+        FROM f, range(0, {N_FRAMES}) t(k)
     """,
     "l18_repetition_filter": f"""
         WITH w AS (

@@ -123,6 +123,7 @@ _ORDER = (
     "l16_kmeans",
     "l17_ivf_ann",
     "l18_repetition_filter",
+    "l19_frame_sample",
 )
 
 
