@@ -218,17 +218,11 @@ def _uh_min_hash(seed: int):
     return f
 
 
-def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection via banded MinHash-LSH over word
-    3-shingles — the standard LLM-corpus dedup pipeline:
-
-      shingle → 8 seeded minhashes → 4 bands of 2 → bucket-join on
-      (band_id, band_key) → exact-jaccard verify ≥ 0.8.
-
-    Candidate pairs come ONLY from shared band buckets (a self-join on
-    the band key — one shuffle, bucket-bounded), never an all-pairs
-    cross join; at 100 TB the candidate set stays ~linear in the number
-    of true near-dups while all-pairs would be 10^21 comparisons."""
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lineage for l6 (pair listing) and l22 (cluster formation):
+    word-3-shingle MinHash-LSH candidate generation + exact-jaccard
+    verify ≥ 0.8, returning (doc_i, doc_j, jaccard) with doc_i < doc_j.
+    See l6_minhash_near_dup for the full design discussion."""
     docs = load(spark, sf_dir, "documents")
     # The raw table is a handful of parquet row-groups; the shingle+md5
     # stage is compute-dense, so spread it across all cores explicitly
@@ -289,6 +283,20 @@ def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.8)
         .select("doc_i", "doc_j", "jaccard")
     )
+
+
+def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via banded MinHash-LSH over word
+    3-shingles — the standard LLM-corpus dedup pipeline:
+
+      shingle → 8 seeded minhashes → 4 bands of 2 → bucket-join on
+      (band_id, band_key) → exact-jaccard verify ≥ 0.8.
+
+    Candidate pairs come ONLY from shared band buckets (a self-join on
+    the band key — one shuffle, bucket-bounded), never an all-pairs
+    cross join; at 100 TB the candidate set stays ~linear in the number
+    of true near-dups while all-pairs would be 10^21 comparisons."""
+    return _minhash_verified_pairs(spark, sf_dir)
 
 
 #: l7's own MinHash family: 64 permutations in 8 bands of 8 rows. Sized
@@ -1153,6 +1161,265 @@ def l19_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(sample, schema=out_schema)
 
 
+# --------------------------------------------------------------------------
+# Corpus statistics & filtering, round 4 (l20-l24)
+# --------------------------------------------------------------------------
+
+#: l20 flag thresholds in mean log2-probability (corpus-dependent
+#: config in production; fixed here so the oracle pins the bucketing).
+L20_HI = -4.88  # more predictable than this → repetitive/templated
+L20_LO = -4.95  # less predictable than this → unusual vocabulary mix
+
+
+def l20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring — the CCNet-style perplexity quality filter
+    in front of LLM training ingestion: build a unigram language model
+    over the corpus (count/total per word), score each document by the
+    mean log2-probability of its tokens, and bucket into
+    repetitive / ok / unusual by fixed thresholds.
+
+    Scale shape: one explode + one groupBy(word) build the LM (the
+    vocabulary is ~log-corpus bounded, so the fitted model broadcasts;
+    at web scale split hot head words broadcast + cold tail shuffle).
+    The scoring join is then map-side against the broadcast LM — the
+    100 TB side never shuffles on the (very skewed) word key, which a
+    plain shuffle join would suffer on badly."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    vocab = tokens.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "w", F.log2(F.col("c") / F.col("total")).alias("logp")
+    )
+    scored = (
+        tokens.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("mean_log2p"),
+        )
+    )
+    flag = (
+        F.when(F.col("mean_log2p") > L20_HI, "repetitive")
+        .when(F.col("mean_log2p") < L20_LO, "unusual")
+        .otherwise("ok")
+    )
+    return scored.select("doc_id", "n_tokens", "mean_log2p", flag.alias("flag"))
+
+
+#: l21 per-stratum sampling rates in percent (integer arithmetic on the
+#: md5 hash — exact on both engines, no float threshold comparisons).
+L21_RATES: dict[str, int] = {"en": 50, "de": 40, "es": 30, "fr": 20, "zh": 10}
+L21_DEFAULT_RATE = 25
+L21_K = 25  # exact-k sample size per stratum
+L21_SALTS = 8
+
+
+def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible-subset
+    primitive every training-data pipeline needs (no rand(): re-runs
+    and retried tasks must pick the same rows). Two flavors per
+    language stratum, reported as per-stratum audit aggregates:
+
+    - rate sample: keep doc iff md5(doc_id:lang) % 100 < rate[lang] —
+      map-only, infinitely scalable, no coordination;
+    - exact-k sample: the k hash-smallest docs per stratum, taken in
+      two phases (k per (stratum, salt) bucket, then k of those k·s) so
+      no single task ever sorts a whole stratum — the union of per-salt
+      top-k provably contains the global top-k. The oracle uses the
+      equivalent single-window SQL.
+
+    `sum(doc_id)` checksums pin the exact membership of both samples,
+    not just their sizes."""
+    docs = load(spark, sf_dir, "documents")
+    h = _md5_int60(F.concat_ws(":", F.col("doc_id"), F.col("lang")))
+    rate = F.lit(L21_DEFAULT_RATE)
+    for lg, r in L21_RATES.items():
+        rate = F.when(F.col("lang") == lg, r).otherwise(rate)
+    base = docs.select("doc_id", "lang", h.alias("h"), rate.alias("rate"))
+    rate_kept = F.col("h") % 100 < F.col("rate")
+
+    # phase 1: top-k inside each (lang, salt) bucket
+    w1 = Window.partitionBy("lang", F.col("h") % L21_SALTS).orderBy("h", "doc_id")
+    # phase 2: top-k of the surviving k·L21_SALTS rows per lang
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    topk = (
+        base.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= L21_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= L21_K)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_topk"),
+            F.sum("doc_id").alias("sum_topk_ids"),
+        )
+    )
+    rates = base.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(rate_kept.cast("long")).alias("n_rate_kept"),
+        F.sum(F.when(rate_kept, F.col("doc_id")).otherwise(0)).alias("sum_rate_ids"),
+    )
+    return rates.join(topk, "lang").select(
+        "lang", "n_total", "n_rate_kept", "sum_rate_ids", "n_topk", "sum_topk_ids"
+    )
+
+
+L22_ITERS = 3
+
+
+def l22_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over l6's
+    verified MinHash near-dup pairs via min-label propagation — the
+    step that turns pairwise dedup verdicts into keep-one-per-cluster
+    groups (pairs alone can't: {A~B, B~C} must collapse to ONE
+    survivor, not two).
+
+    Each iteration is one join + one groupBy(min) — the classic
+    iterated-CC shape; L22_ITERS=3 covers the synthetic clusters'
+    diameter and keeps the query deterministic for the oracle, which
+    unrolls the identical three rounds. Production loops until a
+    `changed == 0` convergence check (O(log n) rounds with large-star/
+    small-star pairing); per-round cost is linear in edges, and near-dup
+    graphs are sparse by construction — the LSH stage already bounded
+    the edge count."""
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    # near-dup graphs are tiny relative to the corpus (pairs only where
+    # jaccard >= 0.8); the iteration reuses them L22_ITERS times
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = pairs.select(
+        F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst")))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(L22_ITERS):
+        # each round reads `labels` TWICE (neighbor lookup + carry-over)
+        # — persist per round or the lineage re-executes 2^rounds times
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src_lbl").alias("nbr_lbl"))
+        )
+        labels = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("node").alias("member_sum"),
+    )
+
+
+L23_BENCH_MOD = 97  # doc_id % 97 == 0 → "held-out benchmark" membership
+
+
+def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the audit every training corpus needs
+    before a benchmark claim: does any training document share a word
+    3-gram with the held-out set? Membership is deterministic
+    (doc_id % 97 == 0 plays the benchmark); a train doc is contaminated
+    iff it shares ≥ 1 shingle with ANY benchmark doc.
+
+    Scale shape: the benchmark gram set is small and bounded (held-out
+    suites are thousands of docs, not billions) → broadcast left-semi
+    join. The 100 TB training side streams map-side through the
+    broadcast filter — no shuffle of the big side at all; the only
+    shuffles are the benchmark-gram distinct and the final per-language
+    rollup."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("text"))).alias("g")
+    )
+    # the gram explode feeds both the benchmark-set build and the train
+    # probe — persist so the shingle pass runs once, not twice
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    is_bench = F.col("doc_id") % L23_BENCH_MOD == 0
+    bench_grams = grams.where(is_bench).select("g").distinct()
+    contaminated = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.where(~is_bench).select("doc_id", "lang")
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count("*"),
+                4,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit — the storage/serving
+    compression step for embedding corpora (4 bytes/dim → 1): symmetric
+    per-vector max-abs scaling, q = clamp(round(x/scale·127)), then
+    per-label reconstruction-quality aggregates. All array-lane
+    Catalyst expressions (transform/zip_with/aggregate) — no UDF, fully
+    codegen'd, map-only until the final small rollup; at 100 TB this is
+    a single pass.
+
+    round-half-up is spelled floor(v + 0.5) so both engines share the
+    exact IEEE arithmetic; MSE is reported ×10⁶ (meaningful digits
+    survive the 4-decimal oracle rounding), max-abs-error ×10³ (a
+    group-max, order-independent), and n_saturated (|q|=127 count) is
+    integer-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.select("vec_id", "label", xd.alias("x"))
+    scale = F.array_max(F.transform(F.col("x"), F.abs))
+    q = F.transform(
+        F.col("x"),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(v / F.col("scale") * 127 + 0.5)),
+        ),
+    )
+    err = F.zip_with(
+        F.col("x"),
+        F.col("q"),
+        lambda v, qi: v - qi * F.col("scale") / 127,
+    )
+    per_vec = (
+        emb.withColumn("scale", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.aggregate(
+                    err, F.lit(0.0), lambda acc, e: acc + e * e
+                )
+                / F.size(F.col("x"))
+            ).alias("mse"),
+            F.array_max(F.transform(err, F.abs)).alias("max_abs_err"),
+            F.size(F.filter(F.col("q"), lambda v: F.abs(v) == 127)).alias(
+                "n_saturated"
+            ),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.col("mse") * 1e6), 4).alias("avg_mse_ppm"),
+        F.round(F.max(F.col("max_abs_err") * 1e3), 4).alias("max_abs_err_milli"),
+        F.sum("n_saturated").alias("n_saturated"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1173,6 +1440,11 @@ QUERIES = {
     "l17_ivf_ann": l17_ivf_ann,
     "l18_repetition_filter": l18_repetition_filter,
     "l19_frame_sample": l19_frame_sample,
+    "l20_unigram_logprob": l20_unigram_logprob,
+    "l21_stratified_sample": l21_stratified_sample,
+    "l22_dup_clusters": l22_dup_clusters,
+    "l23_contamination": l23_contamination,
+    "l24_embedding_quantize": l24_embedding_quantize,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1238,6 +1510,64 @@ _LID_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in _LID_LANGS) + ")"
 _LID_PRED = "'unknown'"
 for _lg in reversed(_LID_LANGS):
     _LID_PRED = f"CASE WHEN s_{_lg} = best THEN '{_lg}' ELSE {_LID_PRED} END"
+
+#: l6's full LSH-verify lineage as a reusable CTE chain — shared by the
+#: l6 oracle (pair listing) and the l22 oracle (cluster formation over
+#: the same pairs), so the two can never drift apart.
+_DUCK_L6_CTES = f"""sh AS ({_DUCK_SHINGLES}),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(sh, x ->
+                   {_duck_md5_int60('x')} % {MERSENNE_P}) AS hs
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, {_DUCK_MH}
+          FROM hashed
+        ),
+        bands AS (
+          SELECT doc_id, b.band_id,
+                 CASE b.band_id {_DUCK_BAND_KEY} END AS band_key
+          FROM sig, (VALUES (0), (1), (2), (3)) AS b(band_id)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        ),
+        hsets AS (
+          SELECT doc_id, list_distinct(hs) AS hset FROM hashed
+        ),
+        v AS (
+          SELECT doc_i, doc_j,
+                 ROUND(len(list_intersect(x.hset, y.hset))::DOUBLE
+                       / len(list_distinct(list_concat(x.hset, y.hset))), 4)
+                   AS jaccard
+          FROM cand
+          JOIN hsets x ON cand.doc_i = x.doc_id
+          JOIN hsets y ON cand.doc_j = y.doc_id
+        )"""
+
+#: l22's three unrolled min-label-propagation rounds (must mirror
+#: L22_ITERS exactly — the Spark loop and this SQL are the same
+#: iteration count by construction).
+_DUCK_L22_ITERS = "".join(
+    f""",
+        l{i + 1} AS (
+          SELECT l{i}.node,
+                 least(l{i}.lbl, coalesce(MIN(x.lbl), l{i}.lbl)) AS lbl
+          FROM l{i}
+          LEFT JOIN sym ON sym.dst = l{i}.node
+          LEFT JOIN l{i} x ON x.node = sym.src
+          GROUP BY l{i}.node, l{i}.lbl
+        )"""
+    for i in range(L22_ITERS)
+)
+
+_L21_RATE_SQL = " ".join(
+    f"WHEN '{lg}' THEN {r}" for lg, r in L21_RATES.items()
+)
 
 ORACLE = {
     "l1_token_stats": r"""
@@ -1314,40 +1644,7 @@ ORACLE = {
         FROM f GROUP BY source
     """,
     "l6_minhash_near_dup": f"""
-        WITH sh AS ({_DUCK_SHINGLES}),
-        hashed AS (
-          SELECT doc_id,
-                 list_transform(sh, x ->
-                   {_duck_md5_int60('x')} % {MERSENNE_P}) AS hs
-          FROM sh
-        ),
-        sig AS (
-          SELECT doc_id, {_DUCK_MH}
-          FROM hashed
-        ),
-        bands AS (
-          SELECT doc_id, b.band_id,
-                 CASE b.band_id {_DUCK_BAND_KEY} END AS band_key
-          FROM sig, (VALUES (0), (1), (2), (3)) AS b(band_id)
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-          FROM bands a JOIN bands b
-            ON a.band_id = b.band_id AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-        ),
-        hsets AS (
-          SELECT doc_id, list_distinct(hs) AS hset FROM hashed
-        ),
-        v AS (
-          SELECT doc_i, doc_j,
-                 ROUND(len(list_intersect(x.hset, y.hset))::DOUBLE
-                       / len(list_distinct(list_concat(x.hset, y.hset))), 4)
-                   AS jaccard
-          FROM cand
-          JOIN hsets x ON cand.doc_i = x.doc_id
-          JOIN hsets y ON cand.doc_j = y.doc_id
-        )
+        WITH {_DUCK_L6_CTES}
         SELECT doc_i, doc_j, jaccard FROM v WHERE jaccard >= 0.8
     """,
     "l7_ngram_jaccard": f"""
@@ -1630,5 +1927,130 @@ ORACLE = {
                CAST('0x' || substr(md5(text), 1, 2) AS INT) + 1 AS fake_width,
                CAST('0x' || substr(md5(text), 3, 2) AS INT) + 1 AS fake_height
         FROM documents
+    """,
+    "l20_unigram_logprob": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), v AS (
+          SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), t AS (
+          SELECT SUM(c)::DOUBLE AS total FROM v
+        ), lm AS (
+          SELECT w, log2(c / total) AS logp FROM v, t
+        ), s AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 ROUND(AVG(logp), 4) AS mean_log2p
+          FROM tok JOIN lm USING (w) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, mean_log2p,
+               CASE WHEN mean_log2p > {L20_HI} THEN 'repetitive'
+                    WHEN mean_log2p < {L20_LO} THEN 'unusual'
+                    ELSE 'ok' END AS flag
+        FROM s
+    """,
+    "l21_stratified_sample": f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 {_duck_md5_int60("doc_id || ':' || lang")} AS h,
+                 CASE lang {_L21_RATE_SQL} ELSE {L21_DEFAULT_RATE} END AS rate
+          FROM documents
+        ), topk AS (
+          SELECT lang, COUNT(*) AS n_topk,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_topk_ids
+          FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY lang ORDER BY h, doc_id) AS rn
+            FROM base
+          ) WHERE rn <= {L21_K} GROUP BY lang
+        ), rates AS (
+          SELECT lang, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN h % 100 < rate THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rate_kept,
+                 CAST(SUM(CASE WHEN h % 100 < rate THEN doc_id ELSE 0 END)
+                      AS BIGINT) AS sum_rate_ids
+          FROM base GROUP BY lang
+        )
+        SELECT rates.lang, n_total, n_rate_kept, sum_rate_ids,
+               n_topk, sum_topk_ids
+        FROM rates JOIN topk ON rates.lang = topk.lang
+    """,
+    "l22_dup_clusters": f"""
+        WITH {_DUCK_L6_CTES},
+        pairs AS (
+          SELECT doc_i, doc_j FROM v WHERE jaccard >= 0.8
+        ),
+        sym AS (
+          SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs
+        ),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS lbl FROM sym
+        ){_DUCK_L22_ITERS}
+        SELECT lbl AS cluster_id, COUNT(*) AS n_members,
+               CAST(SUM(node) AS BIGINT) AS member_sum
+        FROM l{L22_ITERS} GROUP BY lbl
+    """,
+    "l23_contamination": f"""
+        WITH ws AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ), shc AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(ws) >= 3 THEN list_distinct(
+                   list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                 ELSE [] END AS sh
+          FROM ws
+        ), grams AS (
+          SELECT doc_id, lang, unnest(sh) AS g FROM shc
+        ), bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % {L23_BENCH_MOD} = 0
+        ), cont AS (
+          SELECT DISTINCT doc_id FROM grams
+          WHERE doc_id % {L23_BENCH_MOD} <> 0
+            AND g IN (SELECT g FROM bench)
+        )
+        SELECT lang, COUNT(*) AS n_train,
+               CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               ROUND(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     ::DOUBLE / COUNT(*), 4) AS contamination_rate
+        FROM documents LEFT JOIN cont USING (doc_id)
+        WHERE documents.doc_id % {L23_BENCH_MOD} <> 0
+        GROUP BY lang
+    """,
+    "l24_embedding_quantize": """
+        WITH xs AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, v -> v::DOUBLE) AS x
+          FROM embeddings
+        ), sc AS (
+          SELECT vec_id, label, x,
+                 list_max(list_transform(x, v -> abs(v))) AS scale
+          FROM xs
+        ), qd AS (
+          SELECT vec_id, label, x, scale,
+                 list_transform(x, v -> greatest(-127.0,
+                   least(127.0, floor(v / scale * 127 + 0.5)))) AS q
+          FROM sc
+        ), e AS (
+          SELECT vec_id, label, q,
+                 list_transform(range(1, len(x) + 1),
+                   i -> x[i] - q[i] * scale / 127) AS err,
+                 len(x) AS dim
+          FROM qd
+        ), pv AS (
+          SELECT vec_id, label,
+                 list_sum(list_transform(err, v -> v * v)) / dim AS mse,
+                 list_max(list_transform(err, v -> abs(v))) AS max_abs_err,
+                 len(list_filter(q, v -> abs(v) = 127)) AS n_saturated
+          FROM e
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(mse * 1e6), 4) AS avg_mse_ppm,
+               ROUND(MAX(max_abs_err * 1e3), 4) AS max_abs_err_milli,
+               CAST(SUM(n_saturated) AS BIGINT) AS n_saturated
+        FROM pv GROUP BY label
     """,
 }

@@ -124,6 +124,12 @@ _ORDER = (
     "l17_ivf_ann",
     "l18_repetition_filter",
     "l19_frame_sample",
+    "l20_unigram_logprob",
+    "l21_stratified_sample",
+    "l22_dup_clusters",
+    "l23_contamination",
+    "l24_embedding_quantize",
+    "s7_stream_stream_join",
 )
 
 

@@ -141,6 +141,32 @@ def s6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join end-to-end through the driver gate:
+    click→purchase attribution within 30 minutes per user
+    (runners.stream_stream_interval_join). The availableNow replay of
+    the single-file source is one micro-batch, so the inner interval
+    join emits exactly the batch self-join — the oracle."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    # Stream-stream joins keep one state store PER shuffle partition per
+    # side; commit overhead is per-store-per-batch, so size the state
+    # partitioning to the stream's key cardinality (a per-query knob in
+    # production — here the join state is ~10⁴ keys, where the session
+    # default of 32 stores is mostly fixed overhead). The conf is read
+    # at stream START, and run_available_now fully materializes before
+    # returning, so save/restore around it is sound.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return runners.run_available_now(
+            runners.stream_stream_interval_join(stream)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
@@ -148,6 +174,7 @@ QUERIES = {
     "s4_stateful_running_totals": s4_stateful_running_totals,
     "s5_watermark_dedup": s5_watermark_dedup,
     "s6_stream_static_join": s6_stream_static_join,
+    "s7_stream_stream_join": s7_stream_stream_join,
 }
 
 ORACLE = {
@@ -181,6 +208,16 @@ ORACLE = {
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events LEFT JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
+    """,
+    "s7_stream_stream_join": """
+        SELECT c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               ROUND(p.value, 4) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
     "s3_session_window": """
         WITH ordered AS (

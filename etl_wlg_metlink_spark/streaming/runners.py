@@ -115,6 +115,47 @@ def stream_static_enrich_stream(events: DataFrame, customer: DataFrame) -> DataF
     )
 
 
+def stream_stream_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner interval join — the attribution shape
+    (click → purchase within 30 minutes, per user): two filtered views
+    of the event stream, each with its own event-time watermark, joined
+    on key + a bounded time range. The interval bound is what lets
+    Spark evict join state (a click older than the watermark minus the
+    interval can never match again), so state stays bounded at any
+    scale; an unconstrained stream-stream join would buffer forever.
+
+    Timestamps are emitted as formatted strings and the join is inner,
+    so the availableNow replay's result equals the batch self-join —
+    the DuckDB oracle."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str | None = None, output_mode: str = "append"
 ) -> DataFrame:

@@ -78,6 +78,71 @@ def test_l18_repetition_invariants(spark, sf_dir):
         assert r["would_filter"] == expect
 
 
+def test_l20_flag_buckets(spark, sf_dir):
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L20_HI, L20_LO
+
+    rows = queries()["l20_unigram_logprob"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["mean_log2p"] < 0  # log-probabilities are negative
+        expect = (
+            "repetitive"
+            if r["mean_log2p"] > L20_HI
+            else "unusual"
+            if r["mean_log2p"] < L20_LO
+            else "ok"
+        )
+        assert r["flag"] == expect
+
+
+def test_l21_sample_invariants(spark, sf_dir):
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L21_K
+
+    rows = queries()["l21_stratified_sample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_topk"] == min(L21_K, r["n_total"])
+        assert 0 <= r["n_rate_kept"] <= r["n_total"]
+        # checksums are sums of doc_ids actually kept — bounded by the
+        # total id mass of the stratum
+        assert r["sum_topk_ids"] >= 0
+        assert r["sum_rate_ids"] >= 0
+
+
+def test_l22_clusters_cover_l6_pairs(spark, sf_dir):
+    """Every verified near-dup pair must land in ONE cluster (the whole
+    point of cluster formation), and cluster sizes must partition the
+    node set."""
+    pairs = queries()["l6_minhash_near_dup"](spark, sf_dir).collect()
+    clusters = queries()["l22_dup_clusters"](spark, sf_dir).collect()
+    nodes = {d for r in pairs for d in (r["doc_i"], r["doc_j"])}
+    assert sum(r["n_members"] for r in clusters) == len(nodes)
+    for r in clusters:
+        # cluster_id is the propagated min doc_id — itself a member,
+        # so the id-sum is at least cluster_id * size
+        assert r["member_sum"] >= r["cluster_id"] * r["n_members"]
+
+
+def test_l23_contamination_invariants(spark, sf_dir):
+    rows = queries()["l23_contamination"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_train"]
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_l24_quantize_invariants(spark, sf_dir):
+    rows = queries()["l24_embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # symmetric max-abs scaling: the max-|x| element quantizes to
+        # exactly ±127, so every vector saturates at least once
+        assert r["n_saturated"] >= r["n_vecs"]
+        assert r["avg_mse_ppm"] > 0
+        assert r["max_abs_err_milli"] > 0
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),

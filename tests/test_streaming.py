@@ -51,6 +51,46 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
     assert got == expected
 
 
+def test_stream_stream_interval_join_parity(spark, sf_dir):
+    """The stream-stream interval join must equal the batch self-join
+    of the same predicate (inner join, one micro-batch replay)."""
+    from pyspark.sql import functions as F
+
+    stream = runners.events_stream(spark, sf_dir)
+    result = runners.run_available_now(
+        runners.stream_stream_interval_join(stream),
+        query_name="ss_join_parity",
+    )
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.round("value", 4).alias("purchase_value"),
+        )
+    )
+    cols = ["user_id", "click_ts", "purchase_ts", "purchase_value"]
+    assert _rows(result, cols) == _rows(batch, cols)
+
+
 def test_stateful_track_state_parity(spark, sf_dir, tmp_path):
     """applyInPandasWithState accumulates across micro-batches: replay
     events as 4 files → 4 batches; the final state per user must equal
