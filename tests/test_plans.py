@@ -23,6 +23,7 @@ BNLJ_OK = {
     "l11_knn_label_vote",
     "l12_lsh_ann_recall",
     "l17_ivf_ann",  # N×K seed-assignment scoring against broadcast seeds
+    "l20_unigram_logprob",  # 1-row broadcast corpus-total joined to vocab
 }
 
 
