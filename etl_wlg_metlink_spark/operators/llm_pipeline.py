@@ -1420,6 +1420,127 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L25_BATCH_MOD = 10  # doc_id % 10 == 7 → "newly arrived batch"
+
+
+def l25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the steady-state shape of corpus
+    building (a new crawl batch lands against an existing deduplicated
+    corpus; full-corpus re-dedup is not an option at 100 TB). A batch
+    doc is dropped if its content fingerprint already exists in the
+    corpus, else if an earlier batch doc (smaller doc_id) claimed the
+    same fingerprint; the rest ingest.
+
+    Scale shape: the batch is the small side, so its fingerprint set
+    broadcasts and the 100 TB corpus is map-side SEMI-FILTERED through
+    it — the corpus never shuffles and the surviving collision set is
+    bounded by the batch size, so it broadcasts back for the verdict
+    join. (A corpus-side bloom filter is the same idea when even the
+    batch fps outgrow a broadcast.) Dedup within the batch is a window
+    over the fingerprint — deterministic min-doc_id survivor, same as
+    l5."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_words(F.col("text")))), " ")
+    )
+    is_batch = F.col("doc_id") % L25_BATCH_MOD == 7
+    with_fp = docs.select("doc_id", "lang", fp.alias("fp"), is_batch.alias("nb"))
+    batch = with_fp.where(F.col("nb"))
+    batch_fps = batch.select("fp").distinct()
+    collided = (
+        with_fp.where(~F.col("nb"))
+        .select("fp")
+        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        .distinct()  # bounded by the batch fp count — AFTER the filter
+        .withColumn("in_corpus", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        batch.join(F.broadcast(collided), "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "lang",
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), "dup_vs_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("ingest")
+            .alias("verdict"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_batch"),
+        F.sum((F.col("verdict") == "dup_vs_corpus").cast("long")).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum((F.col("verdict") == "dup_in_batch").cast("long")).alias(
+            "n_dup_in_batch"
+        ),
+        F.sum((F.col("verdict") == "ingest").cast("long")).alias("n_ingested"),
+        F.sum(
+            F.when(F.col("verdict") == "ingest", F.col("doc_id")).otherwise(0)
+        ).alias("sum_ingested_ids"),
+    )
+
+
+L26_SEQ_LEN = 512  # tokens per packed training sequence
+L26_SHARDS = 8
+
+
+def l26_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate-and-chunk documents into
+    fixed-length training sequences (the classic pretraining batch
+    prep): docs are laid end-to-end in deterministic (md5-hash, id)
+    order and cut every L26_SEQ_LEN tokens; the packing-efficiency
+    metrics (bins, fill ratio, boundary-spanning docs) come out per
+    source.
+
+    Scale shape: a single global concatenation order would be one
+    worldwide cumsum — instead the layout is SHARDED: docs hash into
+    L26_SHARDS independent streams per source, each packed separately
+    (cumsum window per (source, shard)), and shard metrics add up.
+    That is exactly how a real packing job parallelizes (each writer
+    task owns a shard); the only cross-shard cost is the final tiny
+    rollup. Fill loss vs global packing is ≤ one partial bin per
+    shard."""
+    docs = load(spark, sf_dir, "documents")
+    h = _md5_int60(F.concat_ws(":", F.col("doc_id"), F.lit("pack")))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words(F.col("text"))).alias("tok"),
+        h.alias("h"),
+        (h % L26_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tok").over(w)
+    laid = base.withColumn("cum", cum).withColumn(
+        "spans",
+        (
+            F.floor((F.col("cum") - 1) / L26_SEQ_LEN)
+            > F.floor((F.col("cum") - F.col("tok")) / L26_SEQ_LEN)
+        ).cast("long"),
+    )
+    shards = laid.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("tokens"),
+        F.ceil(F.sum("tok") / F.lit(L26_SEQ_LEN)).alias("bins"),
+        F.sum("spans").alias("n_spanning"),
+    )
+    return shards.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum("bins").alias("n_bins"),
+        F.round(
+            F.sum("tokens") / (F.sum("bins") * L26_SEQ_LEN), 4
+        ).alias("fill_ratio"),
+        F.sum("n_spanning").alias("n_spanning"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1445,6 +1566,8 @@ QUERIES = {
     "l22_dup_clusters": l22_dup_clusters,
     "l23_contamination": l23_contamination,
     "l24_embedding_quantize": l24_embedding_quantize,
+    "l25_incremental_dedup": l25_incremental_dedup,
+    "l26_sequence_pack": l26_sequence_pack,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2052,5 +2175,73 @@ ORACLE = {
                ROUND(MAX(max_abs_err * 1e3), 4) AS max_abs_err_milli,
                CAST(SUM(n_saturated) AS BIGINT) AS n_saturated
         FROM pv GROUP BY label
+    """,
+    "l25_incremental_dedup": f"""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp,
+                 doc_id % {L25_BATCH_MOD} = 7 AS nb
+          FROM documents
+        ), corpus AS (
+          SELECT DISTINCT fp FROM f WHERE NOT nb
+        ), b AS (
+          SELECT lang, doc_id,
+                 (fp IN (SELECT fp FROM corpus)) AS in_corpus,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM f WHERE nb
+        ), v AS (
+          SELECT lang, doc_id,
+                 CASE WHEN in_corpus THEN 'dup_vs_corpus'
+                      WHEN rn > 1 THEN 'dup_in_batch'
+                      ELSE 'ingest' END AS verdict
+          FROM b
+        )
+        SELECT lang, COUNT(*) AS n_batch,
+               CAST(SUM(CASE WHEN verdict = 'dup_vs_corpus' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_vs_corpus,
+               CAST(SUM(CASE WHEN verdict = 'dup_in_batch' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_in_batch,
+               CAST(SUM(CASE WHEN verdict = 'ingest' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ingested,
+               CAST(SUM(CASE WHEN verdict = 'ingest' THEN doc_id ELSE 0 END)
+                    AS BIGINT) AS sum_ingested_ids
+        FROM v GROUP BY lang
+    """,
+    "l26_sequence_pack": f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS tok,
+                 {_duck_md5_int60("doc_id || ':pack'")} AS h
+          FROM documents
+        ), sh AS (
+          SELECT *, h % {L26_SHARDS} AS shard FROM base
+        ), laid AS (
+          SELECT source, shard, tok,
+                 SUM(tok) OVER (PARTITION BY source, shard
+                                ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM sh
+        ), marked AS (
+          SELECT source, shard, tok,
+                 CASE WHEN floor((cum - 1) / {L26_SEQ_LEN})
+                        > floor((cum - tok) / {L26_SEQ_LEN})
+                      THEN 1 ELSE 0 END AS spans
+          FROM laid
+        ), shards AS (
+          SELECT source, shard, COUNT(*) AS n_docs, SUM(tok) AS tokens,
+                 CAST(ceil(SUM(tok) / {L26_SEQ_LEN}) AS BIGINT) AS bins,
+                 SUM(spans) AS n_spanning
+          FROM marked GROUP BY source, shard
+        )
+        SELECT source,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(bins) AS BIGINT) AS n_bins,
+               ROUND(SUM(tokens) / (SUM(bins) * {L26_SEQ_LEN}), 4)
+                 AS fill_ratio,
+               CAST(SUM(n_spanning) AS BIGINT) AS n_spanning
+        FROM shards GROUP BY source
     """,
 }

@@ -130,6 +130,8 @@ _ORDER = (
     "l23_contamination",
     "l24_embedding_quantize",
     "s7_stream_stream_join",
+    "l25_incremental_dedup",
+    "l26_sequence_pack",
 )
 
 

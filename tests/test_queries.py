@@ -143,6 +143,29 @@ def test_l24_quantize_invariants(spark, sf_dir):
         assert r["max_abs_err_milli"] > 0
 
 
+def test_l25_verdicts_partition_batch(spark, sf_dir):
+    rows = queries()["l25_incremental_dedup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_dup_vs_corpus"] + r["n_dup_in_batch"] + r["n_ingested"]
+            == r["n_batch"]
+        )
+        assert r["sum_ingested_ids"] >= 0
+
+
+def test_l26_packing_invariants(spark, sf_dir):
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L26_SEQ_LEN
+
+    rows = queries()["l26_sequence_pack"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["fill_ratio"] <= 1.0
+        # bins must cover the tokens, with at most one partial bin per shard
+        assert r["n_bins"] * L26_SEQ_LEN >= r["total_tokens"]
+        assert 0 <= r["n_spanning"] <= r["n_docs"]
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
