@@ -51,6 +51,12 @@ def build_session(
         # Spark 4.x refuses to read by default (PARQUET_TYPE_ILLEGAL).
         # Read nanos as long; tables.load() normalizes to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata ≥ round 4 writes TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false), which Spark would infer as
+        # TIMESTAMP_NTZ — a type withWatermark/event-time ops reject.
+        # Session tz is pinned UTC, so reading it as TimestampType (LTZ)
+        # denotes the same instants; disable NTZ inference globally.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -74,6 +80,9 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # Runtime-settable SQLConf: required to read the driver's
     # TIMESTAMP(NANOS) events.parquet on sessions we didn't build.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet must surface as
+    # TimestampType, not NTZ, for event-time streaming (see build_session).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Size shuffles to the machine: AQE coalesces ordinary exchanges at
     # runtime, but stateful streaming ops pin their state-store
     # partitioning to this value at query start (200 default = 200

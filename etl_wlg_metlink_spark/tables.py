@@ -52,6 +52,10 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Defensive: if NTZ inference was on when the schema was built
+        # (session tz is UTC, so the cast preserves the instant).
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
