@@ -591,20 +591,31 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning ~11% of the corpus, a ~2× lift over random candidates;
     on real clustered embeddings the lift is far higher.
 
+    Shape: ONE fused mapInPandas pass. The bounded query set (50
+    vectors, collected once driver-side — 50×64 floats) is closed over
+    by the UDF; each partition computes its cosine block against all
+    queries in numpy and emits only its LOCAL top-5 per (query, lane)
+    for two lanes — 'truth' (brute force) and 'ann' (sign-bucket
+    candidates within the multi-probe Hamming radius). A global window
+    merges the ≤ partitions×50×2×5 partials. The earlier broadcast-
+    nested-loop form replicated the corpus ×queries through the join
+    and ran the sketch UDF four times; this pass reads the corpus once
+    and makes one JVM→Arrow→Python round-trip — the map-side partial
+    top-k shape a 1000-executor run needs (per-task state: 50×64
+    floats + 500 partial rows, independent of corpus size).
+
     Non-SQL-expressible end-to-end (deterministic pseudo-random planes
     + sign-bucket candidate generation), so registered rows-only; the
     judge can read recall directly from the output rows."""
     emb = load(spark, sf_dir, "embeddings")
+    # Testdata is one small file → one input split; re-spread for task
+    # parallelism. At real scale the parquet scan already yields
+    # per-split tasks and this repartition would be dropped.
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
 
     # Deterministic planes: component d of plane p ∈ [-1, 1), derived
-    # from md5 so any engine/worker regenerates the same sketch. The
-    # planes are data-independent, so they're materialized driver-side
-    # (6×64 floats) and closed over by one Arrow-batched UDF instead of
-    # 6 interpreted zip_with/aggregate dot products per row.
+    # from md5 so any engine/worker regenerates the same sketch.
     import hashlib
-
-    from pyspark.sql.functions import pandas_udf
 
     planes = np.array(
         [
@@ -616,84 +627,82 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(N_PLANES)
         ]
     )
-    weights = 1 << np.arange(N_PLANES)
 
-    @pandas_udf("bucket long, norm double")
-    def sketch(emb_col: pd.Series) -> pd.DataFrame:
-        x = np.stack(emb_col.values).astype(np.float64)
-        signs = (x @ planes.T) > 0
-        return pd.DataFrame(
-            {
-                "bucket": (signs * weights).sum(axis=1),
-                "norm": np.linalg.norm(x, axis=1),
-            }
-        )
-
-    corpus = emb.select(
-        "vec_id", "embedding", sketch(F.col("embedding")).alias("s")
-    ).select("vec_id", "embedding", F.col("s.bucket").alias("bucket"),
-             F.col("s.norm").alias("norm"))
-    q = corpus.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    ).where(F.col("query_id") < 50)
-
-    # Vectorized cosine for the scored joins: the HOF zip_with/aggregate
-    # form is interpreted per element (no codegen for lambda bodies);
-    # the Arrow-batched numpy path is ~5× faster on the 250k-pair
-    # brute-force side. Rows-only query, so no cross-engine float-order
-    # concern.
-    @pandas_udf("double")
-    def _cos(a, b):  # type: ignore[no-untyped-def]
-        x = np.stack(a.values)
-        y = np.stack(b.values)
-        num = (x * y).sum(axis=1)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        return pd.Series(num / den)
-
-    sim = _cos(F.col("q_emb"), F.col("embedding"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-
-    # Brute-force truth (small query set, broadcast).
-    truth = (
-        corpus.join(F.broadcast(q.select("query_id", "q_emb")),
-                    F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .groupBy("query_id")
-        .agg(F.collect_set("vec_id").alias("true_top5"))
+    # Bounded-by-design query set (the reference point lookup side);
+    # float32→float64 widening is exact, so these equal the in-UDF
+    # values bit-for-bit.
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < 50).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    # ANN candidates: LSH buckets within the multi-probe radius.
-    ann = (
-        corpus.join(
-            F.broadcast(q),
-            (
-                F.bit_count(F.expr("bucket ^ q_bucket")) <= PROBE_HAMMING
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_signs = (q_mat @ planes.T) > 0
+    q_norms = np.linalg.norm(q_mat, axis=1)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].values).astype(np.float64)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            signs = (x @ planes.T) > 0
+            sims = (x @ q_mat.T) / (
+                np.linalg.norm(x, axis=1)[:, None] * q_norms[None, :]
             )
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .groupBy("query_id")
-        .agg(F.collect_set("vec_id").alias("ann_top5"))
-    )
-    return (
-        truth.join(ann, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(
-                F.size(
-                    F.array_intersect(
-                        "true_top5", F.coalesce("ann_top5", F.array().cast("array<bigint>"))
-                    )
+            ham = (signs[:, None, :] != q_signs[None, :, :]).sum(axis=2)
+            not_self = vec_ids[:, None] != q_ids[None, :]
+            out_q: list[int] = []
+            out_v: list[int] = []
+            out_s: list[float] = []
+            out_l: list[str] = []
+            for lane, elig in (
+                ("truth", not_self),
+                ("ann", not_self & (ham <= PROBE_HAMMING)),
+            ):
+                s = np.where(elig, sims, -np.inf)
+                for j in range(len(q_ids)):
+                    col = s[:, j]
+                    k = min(5, int(np.isfinite(col).sum()))
+                    if k == 0:
+                        continue
+                    # local top-k by (sim desc, vec_id asc) — the same
+                    # deterministic tie-break the global window applies
+                    order = np.lexsort((vec_ids, -col))[:k]
+                    out_q.extend([int(q_ids[j])] * k)
+                    out_v.extend(int(v) for v in vec_ids[order])
+                    out_s.extend(float(v) for v in col[order])
+                    out_l.extend([lane] * k)
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "vec_id": out_v,
+                     "sim": out_s, "lane": out_l}
                 )
-                / F.size("true_top5"),
-                4,
-            ).alias("recall_at_5"),
-        )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        partial_topk, "query_id long, vec_id long, sim double, lane string"
+    )
+    w = Window.partitionBy("lane", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    top = partial.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+    # collect_set skips the other lane's nulls; a query with zero ANN
+    # candidates gets an empty ann set → recall 0, as before.
+    sets = top.groupBy("query_id").agg(
+        F.collect_set(
+            F.when(F.col("lane") == "truth", F.col("vec_id"))
+        ).alias("true_top5"),
+        F.collect_set(
+            F.when(F.col("lane") == "ann", F.col("vec_id"))
+        ).alias("ann_top5"),
+    )
+    return sets.select(
+        "query_id",
+        F.round(
+            F.size(F.array_intersect("true_top5", "ann_top5"))
+            / F.size("true_top5"),
+            4,
+        ).alias("recall_at_5"),
     )
 
 
