@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 from etl_wlg_metlink_spark.tables import load
 
 
+def _run_with_state_partitions(spark: SparkSession, n: int, thunk):
+    """Run a streaming thunk with shuffle partitions (= state stores)
+    sized to the stream's key cardinality. Stateful operators keep one
+    state store per shuffle partition, each with per-batch commit
+    overhead, so the session's CPU-count default is mostly fixed cost
+    at ~10⁴-key test scale (a per-query knob in production). The conf
+    is read at stream START and every runner fully materializes before
+    returning, so save/restore around the thunk is sound."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        return thunk()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def s1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type (streaming:
     `withWatermark('ts', ...)` + identical window expression — see
@@ -92,8 +108,12 @@ def s4_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     stream = runners.events_stream(spark, sf_dir)
-    result = runners.run_available_now(
-        runners.user_track_state_stream(stream), output_mode="update"
+    result = _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
+            runners.user_track_state_stream(stream), output_mode="update"
+        ),
     )
     # the LAST emission per user is the final state; n_events is
     # monotone so it orders emissions. (max(total_value) would be
@@ -119,8 +139,12 @@ def s5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_wlg_metlink_spark.streaming import runners
 
     stream = runners.events_stream(spark, sf_dir)
-    return runners.run_available_now(
-        runners.dedup_within_watermark_stream(stream)
+    return _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
+            runners.dedup_within_watermark_stream(stream)
+        ),
     )
 
 
@@ -135,9 +159,13 @@ def s6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = runners.events_stream(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
-    return runners.run_available_now(
-        runners.stream_static_enrich_stream(stream, customer),
-        output_mode="complete",
+    return _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
+            runners.stream_static_enrich_stream(stream, customer),
+            output_mode="complete",
+        ),
     )
 
 
@@ -150,21 +178,13 @@ def s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_wlg_metlink_spark.streaming import runners
 
     stream = runners.events_stream(spark, sf_dir)
-    # Stream-stream joins keep one state store PER shuffle partition per
-    # side; commit overhead is per-store-per-batch, so size the state
-    # partitioning to the stream's key cardinality (a per-query knob in
-    # production — here the join state is ~10⁴ keys, where the session
-    # default of 32 stores is mostly fixed overhead). The conf is read
-    # at stream START, and run_available_now fully materializes before
-    # returning, so save/restore around it is sound.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return runners.run_available_now(
+    return _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
             runners.stream_stream_interval_join(stream)
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ),
+    )
 
 
 QUERIES = {
