@@ -1550,6 +1550,120 @@ def l26_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared regex subset (Java regex ∩ RE2) so Spark and DuckDB match the
+#: same spans: character classes, bounded repetition, \b, \d only —
+#: no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b0\d[- ]\d{3}[- ]\d{4}\b"
+
+
+def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mandatory pre-training redaction pass:
+    detect and mask emails, IPv4 addresses, and phone numbers with
+    typed placeholders, reporting per-doc match counts.
+
+    The synthetic corpus contains no PII, so the query first APPENDS
+    deterministic doc_id-derived PII to each text (same expression in
+    the oracle) — the redaction patterns demonstrably fire on every
+    row instead of vacuously matching nothing. Replacement order is
+    fixed (email → ip → phone) on both engines.
+
+    Scale shape: map-only JVM regexp over codegen'd strings — no
+    shuffle, no UDF; linear scan exactly like l1-l4."""
+    docs = load(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com ip 10."),
+        F.col("doc_id") % 256, F.lit("."),
+        (F.col("doc_id") * 7) % 256, F.lit("."),
+        (F.col("doc_id") * 13) % 256, F.lit(" phone 04-"),
+        F.lpad(((F.col("doc_id") * 31) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 97) % 10000).cast("string"), 4, "0"),
+    )
+    t = F.col("pii_text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return (
+        docs.select("doc_id", pii_text.alias("pii_text"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+            .cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+            .cast("long").alias("n_ips"),
+            F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+            .cast("long").alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+    )
+
+
+def l28_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix — the corpus-curation
+    question behind source weighting: how much of source B is already
+    in source A? For every source pair, the count of shared distinct
+    text fingerprints and the overlap coefficient
+    |A∩B| / min(|A|,|B|).
+
+    The fingerprint is the md5 of the SORTED DISTINCT word set (bag-of-
+    words content fingerprint) — robust to word-order edits, which is
+    how this corpus's near-dups differ; raw-text md5 collides on
+    nothing here (ASCII word-salad, so byte order and lexicographic
+    order agree across engines).
+
+    Scale shape: one shuffle keyed by the md5 fingerprint (distinct
+    per (fingerprint, source)), an equi-self-join on the fingerprint
+    (per-key width = #sources holding that text — bounded by the
+    source catalog, not the corpus), and a final rollup to the
+    #sources² matrix. Never an all-pairs document join."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+            )
+        ).alias("h"),
+        "source",
+    ).distinct()
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fp.groupBy("source").agg(F.count("*").alias("n_distinct"))
+    shared = (
+        fp.alias("a")
+        .join(fp.alias("b"), "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1577,6 +1691,8 @@ QUERIES = {
     "l24_embedding_quantize": l24_embedding_quantize,
     "l25_incremental_dedup": l25_incremental_dedup,
     "l26_sequence_pack": l26_sequence_pack,
+    "l27_pii_redaction": l27_pii_redaction,
+    "l28_cross_source_overlap": l28_cross_source_overlap,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2252,5 +2368,55 @@ ORACLE = {
                  AS fill_ratio,
                CAST(SUM(n_spanning) AS BIGINT) AS n_spanning
         FROM shards GROUP BY source
+    """,
+    "l27_pii_redaction": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com ip 10.'
+                   || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.'
+                   || ((doc_id * 13) % 256) || ' phone 04-'
+                   || lpad(CAST((doc_id * 31) % 1000 AS VARCHAR), 3, '0')
+                   || '-'
+                   || lpad(CAST((doc_id * 97) % 10000 AS VARCHAR), 4, '0')
+                   AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(pii_text, '{PII_IPV4_RE}'))
+                    AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(pii_text, '{PII_PHONE_RE}'))
+                    AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pii_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    """,
+    "l28_cross_source_overlap": """
+        WITH fp AS (
+          SELECT DISTINCT
+                 md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS h,
+                 source
+          FROM documents
+        ), sizes AS (
+          SELECT source, COUNT(*) AS n_distinct FROM fp GROUP BY source
+        ), shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*) AS n_shared
+          FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE)
+                     / LEAST(sa.n_distinct, sb.n_distinct), 4)
+                 AS overlap_coef
+        FROM shared
+        JOIN sizes sa ON sa.source = shared.source_a
+        JOIN sizes sb ON sb.source = shared.source_b
     """,
 }

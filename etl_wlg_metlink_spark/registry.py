@@ -132,6 +132,8 @@ _ORDER = (
     "s7_stream_stream_join",
     "l25_incremental_dedup",
     "l26_sequence_pack",
+    "l27_pii_redaction",
+    "l28_cross_source_overlap",
 )
 
 

@@ -166,6 +166,27 @@ def test_l26_packing_invariants(spark, sf_dir):
         assert 0 <= r["n_spanning"] <= r["n_docs"]
 
 
+def test_l27_redaction_fires_on_every_row(spark, sf_dir):
+    rows = queries()["l27_pii_redaction"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the deterministic augmentation guarantees ≥1 of each PII kind
+        assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1
+        assert "<EMAIL>" in r["redacted"]
+        assert "<IP>" in r["redacted"]
+        assert "<PHONE>" in r["redacted"]
+        assert "@" not in r["redacted"]
+
+
+def test_l28_overlap_invariants(spark, sf_dir):
+    rows = queries()["l28_cross_source_overlap"](spark, sf_dir).collect()
+    assert rows, "corpus has cross-source near-dups; matrix must be non-empty"
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared"] >= 1
+        assert 0.0 < r["overlap_coef"] <= 1.0
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
