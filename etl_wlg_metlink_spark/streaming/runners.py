@@ -246,6 +246,57 @@ def user_track_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def track_ttl_state_stream(events: DataFrame, ttl_seconds: int = 3600) -> DataFrame:
+    """The reference's staleness contract (task.ts:297 `stale: 180000`
+    — downstream consumers drop a track 180 s after its last update)
+    implemented engine-side: per-key track state with an EVENT-TIME
+    TTL. A track's state lives until the watermark passes its last
+    event time + TTL; then the track is emitted once as a closed
+    record and its state removed. This is the piece s4's NoTimeout
+    variant deliberately omits: on an unbounded vehicle stream, keys
+    that go quiet MUST be reclaimed or state grows with the number of
+    vehicles ever seen, not the number currently live.
+
+    Emits only closed tracks (user_id, n_events, last_ts). Timeout
+    callbacks fire on the first (possibly no-data) micro-batch whose
+    start watermark exceeds the track's deadline."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            count, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [count],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+        else:
+            count, last_ms = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                count += len(pdf)
+                batch_ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                last_ms = max(last_ms, batch_ms)
+            state.update((count, last_ms))
+            state.setTimeoutTimestamp(last_ms + ttl_seconds * 1000)
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, last_ts timestamp",
+            stateStructType="count long, last_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def metlink_envelope_stream(
     spark: SparkSession,
     input_dir: str,

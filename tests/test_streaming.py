@@ -244,6 +244,58 @@ def test_metlink_poll_datasource_two_snapshots(spark, tmp_path):
         assert stream_ents == batch_ents and len(stream_ents) > 0
 
 
+def test_ttl_state_evicts_quiet_tracks(spark, tmp_path):
+    """Event-time TTL lifecycle (the reference's 180 s staleness done
+    engine-side): a two-batch replay where user 1 goes quiet must
+    evict exactly user 1's track once the watermark passes its last
+    event + TTL, while the still-active user 2 stays in state."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(name, rows, mtime):
+        ts, uid, val = zip(*rows)
+        table = pa.table(
+            {
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "user_id": pa.array(list(uid), pa.int64()),
+                "value": pa.array(list(val), pa.float64()),
+            }
+        )
+        path = str(tmp_path / name)
+        pq.write_table(table, path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    h = 3_600_000_000  # one hour in microseconds
+    now = time.time()
+    # batch 1: both users at hour 1 (user 1 twice). Nothing sits at
+    # epoch 0 — the initial watermark is 0 and rows at/below the
+    # watermark are dropped as late.
+    _write("f1.parquet", [(h, 1, 1.0), (h + h // 2, 1, 2.0), (h, 2, 3.0)], now - 60)
+    # batch 2: only user 2, at hour 4 → watermark reaches hour 4,
+    # passing user 1's deadline (hour 1.5 + 1 h TTL) but not user 2's
+    _write("f2.parquet", [(4 * h, 2, 4.0)], now - 30)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    result = runners.run_available_now(
+        runners.track_ttl_state_stream(stream, ttl_seconds=3600),
+        query_name="ttl_evict",
+        output_mode="append",
+    )
+    closed = sorted(
+        (r["user_id"], r["n_events"], r["last_ts"].isoformat())
+        for r in result.collect()
+    )
+    assert closed == [(1, 2, "1970-01-01T01:30:00")]
+
+
 def test_metlink_poll_datasource_bad_envelope_keeps_running(spark, tmp_path):
     """A malformed poll must not kill the resident query: it surfaces
     as a NULL-entity row (the caller's drop/observe path), and later
