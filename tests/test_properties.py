@@ -138,3 +138,76 @@ def test_pipeline_matches_oracle_on_random_fixtures(spark, params):
     )
     expected = oracle_features(entities)
     assert fc["features"] == expected
+
+
+# ---------------------------------------------------------------------------
+# l27 PII redaction: Spark's Java regex and Python's re must agree on
+# the shared pattern subset, and redaction must remove every planted
+# PII span regardless of the surrounding filler.
+# ---------------------------------------------------------------------------
+
+_FILLER = st.text(
+    alphabet=st.sampled_from("abc XYZ,;\n\t"), min_size=0, max_size=30
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _FILLER,
+            st.sampled_from(
+                [
+                    "bob.smith+tag@mail-host.example.com",
+                    "x@y.nz",
+                    "10.255.0.7",
+                    "192.168.1.254",
+                    "04-555-0199",
+                    "09 123 4567",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    _FILLER,
+)
+@settings(**SETTINGS)
+def test_pii_redaction_scrubs_planted_spans(spark, parts, tail):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    # ' ' separators keep planted spans from fusing with the filler
+    # into a different (longer) match
+    text = " ".join(f"{filler} {pii}" for filler, pii in parts) + " " + tail
+    df = spark.createDataFrame([(text,)], "t string")
+    redacted, n_email, n_ip, n_phone = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE, "<IP>",
+            ),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all("t", F.lit(PII_IPV4_RE), 0)),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0)),
+    ).first()
+
+    # parity with Python's re on the identical patterns
+    py = re.sub(PII_PHONE_RE, "<PHONE>",
+                re.sub(PII_IPV4_RE, "<IP>",
+                       re.sub(PII_EMAIL_RE, "<EMAIL>", text)))
+    assert redacted == py
+    assert n_email == len(re.findall(PII_EMAIL_RE, text))
+    assert n_ip == len(re.findall(PII_IPV4_RE, text))
+    assert n_phone == len(re.findall(PII_PHONE_RE, text))
+    # every planted span is gone from the redacted text
+    for _, pii in parts:
+        assert pii not in redacted
