@@ -21,7 +21,6 @@ BNLJ_OK = {
     "r6_range_join",
     "l9_cosine_topk",
     "l11_knn_label_vote",
-    "l12_lsh_ann_recall",
     "l17_ivf_ann",  # N×K seed-assignment scoring against broadcast seeds
     "l20_unigram_logprob",  # 1-row broadcast corpus-total joined to vocab
 }
@@ -74,6 +73,15 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(queries()["p5_config_isin_filter"](spark, sf_dir))
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_l12_is_single_fused_python_pass(spark, sf_dir):
+    """l12's scale shape: candidate scoring fused into ONE mapInPandas
+    pass (per-task state independent of corpus size) — never a
+    corpus×queries nested-loop join, never a second Python stage."""
+    plan = _plan(queries()["l12_lsh_ann_recall"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 1
 
 
 @pytest.mark.parametrize("name", sorted(queries()))
