@@ -244,11 +244,12 @@ def test_metlink_poll_datasource_two_snapshots(spark, tmp_path):
         assert stream_ents == batch_ents and len(stream_ents) > 0
 
 
-def test_ttl_state_evicts_quiet_tracks(spark, tmp_path):
-    """Event-time TTL lifecycle (the reference's 180 s staleness done
-    engine-side): a two-batch replay where user 1 goes quiet must
-    evict exactly user 1's track once the watermark passes its last
-    event + TTL, while the still-active user 2 stays in state."""
+def _write_ttl_fixture(tmp_path):
+    """Two-file replay for the TTL tests: user 1 goes quiet after
+    batch 1; batch 2 advances the watermark past user 1's deadline
+    (last event + 1 h TTL) but not user 2's. Nothing sits at epoch 0 —
+    the initial watermark is 0 and rows at/below it are dropped as
+    late."""
     import os
     import time
 
@@ -267,33 +268,81 @@ def test_ttl_state_evicts_quiet_tracks(spark, tmp_path):
         path = str(tmp_path / name)
         pq.write_table(table, path)
         os.utime(path, (mtime, mtime))
-        return path
 
     h = 3_600_000_000  # one hour in microseconds
     now = time.time()
-    # batch 1: both users at hour 1 (user 1 twice). Nothing sits at
-    # epoch 0 — the initial watermark is 0 and rows at/below the
-    # watermark are dropped as late.
     _write("f1.parquet", [(h, 1, 1.0), (h + h // 2, 1, 2.0), (h, 2, 3.0)], now - 60)
-    # batch 2: only user 2, at hour 4 → watermark reaches hour 4,
-    # passing user 1's deadline (hour 1.5 + 1 h TTL) but not user 2's
     _write("f2.parquet", [(4 * h, 2, 4.0)], now - 30)
 
-    stream = (
+
+def _ttl_stream(spark, tmp_path):
+    return (
         spark.readStream.schema("ts timestamp, user_id long, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path))
     )
-    result = runners.run_available_now(
-        runners.track_ttl_state_stream(stream, ttl_seconds=3600),
-        query_name="ttl_evict",
-        output_mode="append",
-    )
-    closed = sorted(
+
+
+#: the only track the TTL replay must close: user 1, 2 events, hour 1.5
+_TTL_EXPECTED = [(1, 2, "1970-01-01T01:30:00")]
+
+
+def _closed_tracks(result):
+    return sorted(
         (r["user_id"], r["n_events"], r["last_ts"].isoformat())
         for r in result.collect()
     )
-    assert closed == [(1, 2, "1970-01-01T01:30:00")]
+
+
+def test_ttl_state_evicts_quiet_tracks(spark, tmp_path):
+    """Event-time TTL lifecycle (the reference's 180 s staleness done
+    engine-side): exactly the quiet track is evicted once the
+    watermark passes its last event + TTL."""
+    _write_ttl_fixture(tmp_path)
+    result = runners.run_available_now(
+        runners.track_ttl_state_stream(
+            _ttl_stream(spark, tmp_path), ttl_seconds=3600
+        ),
+        query_name="ttl_evict",
+        output_mode="append",
+    )
+    assert _closed_tracks(result) == _TTL_EXPECTED
+
+
+def test_ttl_transform_with_state_parity(spark, tmp_path):
+    """Same TTL semantics on the current API
+    (transformWithStateInPandas + event-time timers, RocksDB-backed).
+    Its Python worker needs google.protobuf, which this container
+    doesn't ship — skips there, runs wherever protobuf exists."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker requires protobuf",
+    )
+    _write_ttl_fixture(tmp_path)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        result = runners.run_available_now(
+            runners.track_ttl_transform_with_state(
+                _ttl_stream(spark, tmp_path), ttl_seconds=3600
+            ),
+            query_name="ttl_evict_tws",
+            output_mode="append",
+        )
+        closed = _closed_tracks(result)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert closed == _TTL_EXPECTED
 
 
 def test_metlink_poll_datasource_bad_envelope_keeps_running(spark, tmp_path):
