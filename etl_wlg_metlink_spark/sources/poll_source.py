@@ -19,12 +19,21 @@ Design notes for scale/correctness:
   parsing stays in Catalyst (`from_json` + `posexplode`) so schema
   validation and column pruning are engine-side, identical to the
   batch path.
-- Offsets are `{"index": n}` = number of polls consumed. Snapshot
-  replay (`readBetweenOffsets`) re-reads the same files, giving
-  exactly-once over a snapshot directory; in live-HTTP mode a replayed
-  range is served from the in-process cache (best effort — an HTTP
-  poll is not replayable after a driver restart, the same at-least-
-  once caveat every network tail source carries).
+- Offsets are `{"index": n, "last": name}`: poll count plus the
+  basename of the LAST CONSUMED snapshot file. Anchoring progress to
+  the filename (consume the lexicographically next name, never a
+  positional index into a re-sorted listing) keeps the offset→data
+  mapping stable while files keep landing: a late file that sorts
+  before `last` can shift positions but not what an offset denotes.
+  Landing names must be monotone (timestamped/sequenced filenames —
+  the standard landing-directory contract); a late out-of-order name
+  is skipped, never double-ingested. Snapshot replay
+  (`readBetweenOffsets`) re-reads the immutable files in the
+  (start.last, end.last] name range, giving exactly-once over the
+  directory; in live-HTTP mode a replayed range is served from the
+  in-process cache (best effort — an HTTP poll is not replayable
+  after a driver restart, the same at-least-once caveat every network
+  tail source carries).
 
 Two modes, selected by options:
 
@@ -77,60 +86,94 @@ class _PollReader(SimpleDataSourceStreamReader):
                 "metlink_poll requires option 'snapshot_dir' or 'url'"
             )
         #: poll_id -> (fetched_at, raw); backs readBetweenOffsets replay
+        #: in live mode
         self._cache: dict[int, tuple[float, str]] = {}
+        #: poll_id -> snapshot basename served for that poll; snapshot
+        #: replay re-reads the immutable file by NAME, so a late file
+        #: landing inside an already-read range can't change a replay
+        self._names: dict[int, str] = {}
 
     # -- offset bookkeeping ------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"index": 0, "last": ""}
 
-    def _snapshot_files(self) -> list[str]:
+    def _names_after(self, last: str) -> list[str]:
+        """Snapshot basenames strictly after `last`, sorted — the
+        stable anchor: a file landing later with an earlier-sorting
+        name shifts positions but never what (index, last) denotes."""
         return sorted(
-            os.path.join(self._snapshot_dir, f)
+            f
             for f in os.listdir(self._snapshot_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and f > last
         )
 
-    def _poll(self, poll_id: int) -> tuple[float, str] | None:
-        """One poll. None = nothing new (snapshot dir exhausted)."""
+    def _read_snapshot(self, name: str) -> tuple[float, str]:
+        with open(
+            os.path.join(self._snapshot_dir, name), encoding="utf-8"
+        ) as f:
+            return (time.time(), f.read())
+
+    def _poll_http(self, poll_id: int) -> tuple[float, str]:
         if poll_id in self._cache:
             return self._cache[poll_id]
-        if self._snapshot_dir:
-            files = self._snapshot_files()
-            if poll_id >= len(files):
-                return None
-            with open(files[poll_id], encoding="utf-8") as f:
-                result = (time.time(), f.read())
-        else:
-            from etl_wlg_metlink_spark.sources import gtfs
+        from etl_wlg_metlink_spark.sources import gtfs
 
-            headers = {"accept": "application/json", "x-api-key": self._api_key}
-            result = (time.time(), gtfs._urllib_fetch(self._url, headers))
+        headers = {"accept": "application/json", "x-api-key": self._api_key}
+        result = (time.time(), gtfs._urllib_fetch(self._url, headers))
         self._cache[poll_id] = result
         return result
 
     # -- the streaming contract -------------------------------------------
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         i = start["index"]
-        got = self._poll(i)
-        if got is None:  # no new snapshot: empty batch, offset unchanged
-            return iter(()), {"index": i}
-        fetched_at, raw = got
-        return iter([(i, fetched_at, raw)]), {"index": i + 1}
+        if self._snapshot_dir:
+            pending = self._names_after(start.get("last", ""))
+            if not pending:  # nothing new: empty batch, offset unchanged
+                return iter(()), dict(start)
+            name = pending[0]
+            self._names[i] = name
+            fetched_at, raw = self._read_snapshot(name)
+            return iter([(i, fetched_at, raw)]), {"index": i + 1, "last": name}
+        fetched_at, raw = self._poll_http(i)
+        return (
+            iter([(i, fetched_at, raw)]),
+            {"index": i + 1, "last": start.get("last", "")},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = []
-        for i in range(start["index"], end["index"]):
-            got = self._poll(i)
-            if got is not None:
-                rows.append((i, got[0], got[1]))
-        return iter(rows)
+        if self._snapshot_dir:
+            ids = range(start["index"], end["index"])
+            if all(i in self._names for i in ids):
+                # same-process replay: exactly the files served then,
+                # immune to files that landed inside the range since
+                names = [self._names[i] for i in ids]
+            else:
+                # post-restart fallback: re-enumerate the name range
+                # (exact while landing names stay monotone — the same
+                # contract read() relies on)
+                names = [
+                    n
+                    for n in self._names_after(start.get("last", ""))
+                    if n <= end.get("last", "")
+                ][: len(ids)]
+            rows = []
+            for poll_id, name in zip(ids, names):
+                fetched_at, raw = self._read_snapshot(name)
+                rows.append((poll_id, fetched_at, raw))
+            return iter(rows)
+        return iter(
+            (i, *self._poll_http(i))
+            for i in range(start["index"], end["index"])
+        )
 
     def commit(self, end: dict) -> None:
         # Polls at index < end are finished; drop them from the replay
-        # cache so a long-lived poller holds O(in-flight) state, not
+        # caches so a long-lived poller holds O(in-flight) state, not
         # O(stream lifetime).
         for i in [k for k in self._cache if k < end["index"]]:
             del self._cache[i]
+        for i in [k for k in self._names if k < end["index"]]:
+            del self._names[i]
 
 
 def register(spark) -> None:

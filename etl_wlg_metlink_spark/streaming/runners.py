@@ -187,28 +187,46 @@ def run_until_idle(
     Python DataSources don't support Trigger.AvailableNow (the engine
     falls back to ONE batch, losing every poll after the first), so
     this runs a processingTime=0 trigger and stops after several
-    consecutive zero-input progress reports — the "caught up" signal a
-    resident poller would otherwise never emit."""
+    consecutive DISTINCT zero-input progress reports — the "caught up"
+    signal a resident poller would otherwise never emit. Two details
+    matter: Spark only publishes a no-data progress report every
+    `noDataProgressEventInterval` (default 10 s — a dead stall here),
+    so that interval is lowered around the query; and `lastProgress`
+    is the SAME object until the next report lands, so idleness is
+    counted per distinct report timestamp, not per 0.25 s sample of
+    one report."""
     import time
 
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.noDataProgressEventInterval"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "250ms")
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = time.time() + timeout_s
-    idle = 0
-    while time.time() < deadline and idle < idle_reports:
-        time.sleep(0.25)
-        p = q.lastProgress
-        if p is not None:
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        idle, last_seen = 0, None
+        while time.time() < deadline and idle < idle_reports:
+            time.sleep(0.25)
+            p = q.lastProgress
+            if p is None or p["timestamp"] == last_seen:
+                continue
+            last_seen = p["timestamp"]
             idle = idle + 1 if p["numInputRows"] == 0 else 0
-    q.stop()
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name)
 
 
 def user_track_state_stream(events: DataFrame) -> DataFrame:

@@ -16,6 +16,19 @@ def test_every_oracle_key_has_a_query():
     assert len(qs) > 0
 
 
+def test_order_names_all_implemented():
+    """The round-3 failure class, kept loud: a name in the frozen
+    _ORDER curriculum with no implementation must fail CI (the
+    registry itself only warns, so the driver gate can never be
+    zeroed by a typo — but the typo must not ship silently either)."""
+    from etl_wlg_metlink_spark.registry import _ORDER
+
+    implemented = set(queries())
+    missing = [n for n in _ORDER if n not in implemented]
+    assert not missing, f"_ORDER names without implementation: {missing}"
+    assert len(set(_ORDER)) == len(_ORDER), "_ORDER has duplicate names"
+
+
 def test_oracle_sql_parses_in_duckdb(sf_dir):
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -361,3 +361,35 @@ def test_metlink_poll_datasource_bad_envelope_keeps_running(spark, tmp_path):
     good = [r for r in got if r["poll_id"] == 1]
     assert len(bad) == 1 and bad[0]["entity"] is None
     assert len(good) > 0 and all(r["entity"] is not None for r in good)
+
+
+def test_poll_reader_offsets_stable_under_late_files(tmp_path):
+    """Review regression: offsets anchor to the last consumed NAME,
+    so a file landing later with an earlier-sorting name can never
+    remap already-committed offsets (no double-ingest, no silent
+    replay drift)."""
+    from etl_wlg_metlink_spark.sources.poll_source import _PollReader
+
+    (tmp_path / "b.json").write_text('{"b": 1}')
+    reader = _PollReader({"snapshot_dir": str(tmp_path)})
+
+    start = reader.initialOffset()
+    rows, off1 = reader.read(start)
+    assert [r[2] for r in rows] == ['{"b": 1}'] and off1["last"] == "b.json"
+
+    # a.json lands AFTER b.json was consumed, sorting before it
+    (tmp_path / "a.json").write_text('{"a": 1}')
+
+    # the next poll must not re-serve b.json (monotone-name contract:
+    # the out-of-order name is skipped, never double-ingested)
+    rows2, off2 = reader.read(off1)
+    assert list(rows2) == [] and off2 == off1
+
+    # replay of the committed range still returns exactly b.json
+    replay = list(reader.readBetweenOffsets(start, off1))
+    assert [r[2] for r in replay] == ['{"b": 1}']
+
+    # a genuinely new (later-sorting) file is consumed next
+    (tmp_path / "c.json").write_text('{"c": 1}')
+    rows3, off3 = reader.read(off1)
+    assert [r[2] for r in rows3] == ['{"c": 1}'] and off3["last"] == "c.json"
