@@ -209,13 +209,80 @@ UH_PARAMS: tuple[tuple[int, int], ...] = tuple(
 )
 
 
-def _uh_min_hash(seed: int):
-    a, b = UH_PARAMS[seed]
-
+def _uh_perm(a: int, b: int):
+    # single-arg closure: Spark derives HOF arity from the lambda signature
     def f(h):
-        return (h * a + b) % MERSENNE_P
+        return (h * F.lit(a) + F.lit(b)) % MERSENNE_P
 
     return f
+
+
+def _banded_lsh_pairs(
+    hashed: DataFrame,
+    uh_params: tuple[tuple[int, int], ...],
+    n_bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared banded MinHash-LSH pipeline over a persisted
+    (doc_id, hs: array<long>) relation — the single implementation
+    behind l6 (word shingles, 8 perms × 4 bands, j ≥ 0.8) and l7
+    (char 4-grams, 64 perms × 8 bands, j ≥ 0.5); the DuckDB twin is
+    generated from the same (params, bands) by `_duck_mh` /
+    `_duck_band_key`, so engine and oracle can't drift independently.
+
+    Shape: len(uh_params) integer permutations → bands of
+    len(uh_params)//n_bands rows → md5 band key → equi-self-join on
+    (band_id, band_key) → exact-jaccard verify on the distinct hash
+    sets. One shuffle for the band join, one for the pair distinct;
+    candidate pairs only within band buckets (hash-keyed, so bucket
+    count grows with the corpus), never all-pairs."""
+    rows = len(uh_params) // n_bands
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _uh_perm(a, b))).alias(f"mh{s}")
+            for s, (a, b) in enumerate(uh_params)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "_", *[F.col(f"mh{rows * bi + j}") for j in range(rows)]
+                )
+            ).alias("band_key"),
+        )
+        for bi in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    # Verify on the distinct integer hash sets (identical hash on both
+    # engines → identical sets → identical jaccard), ~10× cheaper than
+    # intersecting the raw token arrays.
+    hset = F.array_distinct(F.col("hs"))
+    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
+    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
+    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
+        F.array_union("sh_i", "sh_j")
+    )
+    return (
+        cand.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_i", "doc_j", "jaccard")
+    )
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,55 +301,12 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one md5 per shingle; the N_MINHASH permutations are integer-only
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
-    # The DAG below is a diamond: `hashed` feeds the signature/band
+    # The banded DAG is a diamond: `hashed` feeds the signature/band
     # lineage AND both sides of the verify join. Persist it so the
     # md5-per-shingle stage runs once, not three times (MEMORY_AND_DISK:
     # at 100 TB the hash arrays spill rather than evict-and-recompute).
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(F.col("hs"), _uh_min_hash(s))).alias(f"mh{s}")
-            for s in range(N_MINHASH)
-        ],
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            ).alias("band_key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
-        )
-        .distinct()
-    )
-    # Verify on the distinct integer hash sets (identical hash on both
-    # engines → identical sets → identical jaccard), ~10× cheaper than
-    # intersecting the string-shingle arrays.
-    hset = F.array_distinct(F.col("hs"))
-    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
-    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
-    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
-        F.array_union("sh_i", "sh_j")
-    )
-    return (
-        cand.join(si, "doc_i")
-        .join(sj, "doc_j")
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= 0.8)
-        .select("doc_i", "doc_j", "jaccard")
-    )
+    return _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=0.8)
 
 
 def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,14 +340,6 @@ UH_PARAMS_L7: tuple[tuple[int, int], ...] = tuple(
 )
 
 
-def _uh_perm(a: int, b: int):
-    # single-arg closure: Spark derives HOF arity from the lambda signature
-    def f(h):
-        return (h * F.lit(a) + F.lit(b)) % MERSENNE_P
-
-    return f
-
-
 def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard near-dup pairs (≥ 0.5), with candidate
     pairs generated by banded MinHash-LSH over the gram hashes — NOT by
@@ -333,10 +349,8 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket count grows with the corpus and per-bucket size stays
     bounded (VERDICT r3 item 5).
 
-    Pipeline: distinct char-4-grams → one md5 per gram → 64 integer
-    permutations → 8 bands of 8 → equi-self-join on (band_id, band_key)
-    → exact Jaccard verify on the distinct gram-hash sets. One shuffle
-    for the band join, one for the pair distinct; never all-pairs.
+    Pipeline: distinct char-4-grams → one md5 per gram → the shared
+    `_banded_lsh_pairs` machinery at 64 permutations × 8 bands of 8.
     Banded LSH is probabilistically complete (recall 1-(1-j⁸)⁸ at
     similarity j — ~99% at the corpus's real dup cluster j≥0.9, <1% at
     its 0.42 baseline); the oracle mirrors the banding so both engines
@@ -358,50 +372,7 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Same diamond as l6: one md5-per-gram pass instead of three.
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(F.col("hs"), _uh_perm(a, b))).alias(f"mh{s}")
-            for s, (a, b) in enumerate(UH_PARAMS_L7)
-        ],
-    )
-    rows = N_MH_L7 // N_BANDS_L7
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "_", *[F.col(f"mh{rows * bi + j}") for j in range(rows)]
-                )
-            ).alias("band_key"),
-        )
-        for bi in range(N_BANDS_L7)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
-        )
-        .distinct()
-    )
-    hset = F.array_distinct(F.col("hs"))
-    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
-    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
-    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
-        F.array_union("sh_i", "sh_j")
-    )
-    return (
-        cand.join(si, "doc_i")
-        .join(sj, "doc_j")
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= 0.5)
-        .select("doc_i", "doc_j", "jaccard")
-    )
+    return _banded_lsh_pairs(hashed, UH_PARAMS_L7, N_BANDS_L7, threshold=0.5)
 
 
 def _char_gram_fn(text, k: int):
@@ -1706,29 +1677,33 @@ _DUCK_SHINGLES = """
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
 
-_DUCK_MH = ",\n".join(
-    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{s}"
-    for s, (a, b) in enumerate(UH_PARAMS)
-)
-_DUCK_BAND_KEY = " ".join(
-    f"WHEN {b} THEN md5(mh{2*b}::VARCHAR || '_' || mh{2*b+1}::VARCHAR)"
-    for b in range(N_BANDS)
-)
-
-_DUCK_MH_L7 = ",\n".join(
-    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{s}"
-    for s, (a, b) in enumerate(UH_PARAMS_L7)
-)
-_ROWS_L7 = N_MH_L7 // N_BANDS_L7
-_DUCK_BAND_KEY_L7 = " ".join(
-    "WHEN {b} THEN md5({key})".format(
-        b=b,
-        key=" || '_' || ".join(
-            f"mh{_ROWS_L7 * b + j}::VARCHAR" for j in range(_ROWS_L7)
-        ),
+# DuckDB twins of _banded_lsh_pairs, generated from the SAME
+# (uh_params, n_bands) the Spark side uses — one formula, two engines.
+def _duck_mh(uh_params: tuple[tuple[int, int], ...]) -> str:
+    return ",\n".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b})"
+        f" % {MERSENNE_P})) AS mh{s}"
+        for s, (a, b) in enumerate(uh_params)
     )
-    for b in range(N_BANDS_L7)
-)
+
+
+def _duck_band_key(n_perms: int, n_bands: int) -> str:
+    rows = n_perms // n_bands
+    return " ".join(
+        "WHEN {b} THEN md5({key})".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"mh{rows * b + j}::VARCHAR" for j in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+
+
+_DUCK_MH = _duck_mh(UH_PARAMS)
+_DUCK_BAND_KEY = _duck_band_key(N_MINHASH, N_BANDS)
+_DUCK_MH_L7 = _duck_mh(UH_PARAMS_L7)
+_DUCK_BAND_KEY_L7 = _duck_band_key(N_MH_L7, N_BANDS_L7)
 _DUCK_BAND_VALUES_L7 = ", ".join(f"({b})" for b in range(N_BANDS_L7))
 
 _DUCK_SIMHASH_SUMS = ",\n".join(
