@@ -1247,16 +1247,15 @@ def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 L22_ITERS = 3
 
 
-def l22_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster formation: connected components over l6's
-    verified MinHash near-dup pairs via min-label propagation — the
-    step that turns pairwise dedup verdicts into keep-one-per-cluster
-    groups (pairs alone can't: {A~B, B~C} must collapse to ONE
-    survivor, not two).
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) after L22_ITERS min-label propagation rounds over
+    l6's verified near-dup pairs: each clustered doc carries its
+    component's minimum doc_id. Shared by l22 (cluster rollup) and
+    l29 (keep/drop manifest).
 
     Each iteration is one join + one groupBy(min) — the classic
     iterated-CC shape; L22_ITERS=3 covers the synthetic clusters'
-    diameter and keeps the query deterministic for the oracle, which
+    diameter and keeps the result deterministic for the oracle, which
     unrolls the identical three rounds. Production loops until a
     `changed == 0` convergence check (O(log n) rounds with large-star/
     small-star pairing); per-round cost is linear in edges, and near-dup
@@ -1290,9 +1289,46 @@ def l22_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lbl"
             ),
         )
+    return labels
+
+
+def l22_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over l6's
+    verified MinHash near-dup pairs via min-label propagation — the
+    step that turns pairwise dedup verdicts into keep-one-per-cluster
+    groups (pairs alone can't: {A~B, B~C} must collapse to ONE
+    survivor, not two). See _cc_labels for the iteration design."""
+    labels = _cc_labels(spark, sf_dir)
     return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
         F.sum("node").alias("member_sum"),
+    )
+
+
+def l29_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: a per-document keep/drop
+    manifest. Every document gets its near-dup cluster id (its own
+    doc_id when unclustered — each singleton is its own component) and
+    a verdict: the cluster's minimum doc_id is the survivor, everything
+    else in the cluster drops. Downstream corpus builds anti-join the
+    drop set — pairs (l6), clusters (l22) and this manifest are the
+    three stages every at-scale dedup ships.
+
+    Scale shape: the corpus never shuffles — the label relation is
+    bounded by the number of CLUSTERED docs (near-dups, tiny vs the
+    corpus), so the manifest join broadcasts it; verdict is a map-side
+    expression."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "lbl"
+    )
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("lbl", "doc_id").alias("cluster_id"),
+        F.when(F.coalesce("lbl", "doc_id") == F.col("doc_id"), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
     )
 
 
@@ -1664,6 +1700,7 @@ QUERIES = {
     "l26_sequence_pack": l26_sequence_pack,
     "l27_pii_redaction": l27_pii_redaction,
     "l28_cross_source_overlap": l28_cross_source_overlap,
+    "l29_dedup_manifest": l29_dedup_manifest,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2393,5 +2430,25 @@ ORACLE = {
         FROM shared
         JOIN sizes sa ON sa.source = shared.source_a
         JOIN sizes sb ON sb.source = shared.source_b
+    """,
+    "l29_dedup_manifest": f"""
+        WITH {_DUCK_L6_CTES},
+        pairs AS (
+          SELECT doc_i, doc_j FROM v WHERE jaccard >= 0.8
+        ),
+        sym AS (
+          SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs
+        ),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS lbl FROM sym
+        ){_DUCK_L22_ITERS}
+        SELECT d.doc_id, d.lang,
+               COALESCE(l.lbl, d.doc_id) AS cluster_id,
+               CASE WHEN COALESCE(l.lbl, d.doc_id) = d.doc_id
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM documents d
+        LEFT JOIN l{L22_ITERS} l ON l.node = d.doc_id
     """,
 }

@@ -134,6 +134,7 @@ _ORDER = (
     "l26_sequence_pack",
     "l27_pii_redaction",
     "l28_cross_source_overlap",
+    "l29_dedup_manifest",
 )
 
 

@@ -200,6 +200,22 @@ def test_l28_overlap_invariants(spark, sf_dir):
         assert 0.0 < r["overlap_coef"] <= 1.0
 
 
+def test_l29_manifest_invariants(spark, sf_dir):
+    rows = queries()["l29_dedup_manifest"](spark, sf_dir).collect()
+    docs = {r["doc_id"] for r in rows}
+    from etl_wlg_metlink_spark.tables import load
+
+    assert len(docs) == load(spark, sf_dir, "documents").count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m["verdict"] == "keep"]
+        # exactly one survivor per cluster, and it's the min doc_id
+        assert len(keeps) == 1
+        assert keeps[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
