@@ -75,6 +75,47 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters" in plan and "event_type" in plan
 
 
+def test_runtime_bloom_filter_prunes_big_join_side(spark, sf_dir):
+    """At 100 TB the optimizer injects a runtime bloom filter: the
+    selective dim filter builds a bloom aggregate that map-side prunes
+    the fact scan BEFORE the shuffle join. Local testdata sits under
+    the default size thresholds, so they're lowered here to pin that
+    the engine's plans take the runtime-filter path when sizes warrant
+    it (the thresholds are the only difference vs production)."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # the probe applied to the big scan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_l12_is_single_fused_python_pass(spark, sf_dir):
     """l12's scale shape: candidate scoring fused into ONE mapInPandas
     pass (per-task state independent of corpus size) — never a
