@@ -1263,8 +1263,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge count."""
     pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_i", "doc_j")
     # near-dup graphs are tiny relative to the corpus (pairs only where
-    # jaccard >= 0.8); the iteration reuses them L22_ITERS times
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # jaccard >= 0.8); the iteration reuses them L22_ITERS times.
+    # localCheckpoint (not persist): TRUNCATES lineage, so per-round
+    # plans stop embedding the whole LSH pipeline — with persist the
+    # printed/optimized plan still expanded ~2^rounds copies of it
+    # (hundreds of exchanges by round 3, pure planning overhead), the
+    # classic iterative-algorithm trap checkpointing exists for.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
     ).unionAll(pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst")))
@@ -1273,8 +1278,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(L22_ITERS):
         # each round reads `labels` TWICE (neighbor lookup + carry-over)
-        # — persist per round or the lineage re-executes 2^rounds times
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        labels = labels.localCheckpoint(eager=True)
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")),
