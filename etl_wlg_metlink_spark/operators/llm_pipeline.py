@@ -285,11 +285,21 @@ def _banded_lsh_pairs(
     )
 
 
-def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared lineage for l6 (pair listing) and l22 (cluster formation):
-    word-3-shingle MinHash-LSH candidate generation + exact-jaccard
-    verify ≥ 0.8, returning (doc_i, doc_j, jaccard) with doc_i < doc_j.
-    See l6_minhash_near_dup for the full design discussion."""
+def _minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """Shared lineage for l6 (pair listing) and l22/l29 (cluster
+    formation / manifest): word-3-shingle MinHash-LSH candidate
+    generation + exact-jaccard verify ≥ 0.8, returning
+    (doc_i, doc_j, jaccard) with doc_i < doc_j. See
+    l6_minhash_near_dup for the full design discussion.
+
+    With ``materialize=True`` the pair set is eagerly localCheckpoint'd
+    (lineage truncated — required by the CC iteration, whose per-round
+    plans would otherwise embed this whole pipeline ~2^rounds times)
+    and the internal diamond persist is released before returning: the
+    checkpoint holds the rows, so keeping the hash-array cache pinned
+    would be dead storage for the rest of the session."""
     docs = load(spark, sf_dir, "documents")
     # The raw table is a handful of parquet row-groups; the shingle+md5
     # stage is compute-dense, so spread it across all cores explicitly
@@ -306,7 +316,11 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-per-shingle stage runs once, not three times (MEMORY_AND_DISK:
     # at 100 TB the hash arrays spill rather than evict-and-recompute).
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    return _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=0.8)
+    pairs = _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=0.8)
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        hashed.unpersist()
+    return pairs
 
 
 def l6_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,15 +1275,16 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star pairing); per-round cost is linear in edges, and near-dup
     graphs are sparse by construction — the LSH stage already bounded
     the edge count."""
-    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_i", "doc_j")
-    # near-dup graphs are tiny relative to the corpus (pairs only where
+    # materialize=True: the pair set is eagerly checkpointed (lineage
+    # truncated — with lazy persist the per-round plans embedded
+    # ~2^rounds copies of the whole LSH pipeline, hundreds of exchanges
+    # of pure planning overhead by round 3, the classic iterative-
+    # algorithm trap) and the upstream diamond cache is released.
+    # Near-dup graphs are tiny relative to the corpus (pairs only where
     # jaccard >= 0.8); the iteration reuses them L22_ITERS times.
-    # localCheckpoint (not persist): TRUNCATES lineage, so per-round
-    # plans stop embedding the whole LSH pipeline — with persist the
-    # printed/optimized plan still expanded ~2^rounds copies of it
-    # (hundreds of exchanges by round 3, pure planning overhead), the
-    # classic iterative-algorithm trap checkpointing exists for.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True).select(
+        "doc_i", "doc_j"
+    )
     edges = pairs.select(
         F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
     ).unionAll(pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst")))

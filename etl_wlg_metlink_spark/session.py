@@ -16,6 +16,7 @@ from local[N] smoke tests up to a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -69,6 +70,25 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def conf_override(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set runtime SQL confs, restoring (or unsetting keys
+    that had no explicit value) on exit. For confs read at query START
+    (streaming state partitioning, no-data progress interval, optimizer
+    thresholds) the caller must fully materialize inside the block."""
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:

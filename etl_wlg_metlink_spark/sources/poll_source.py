@@ -123,11 +123,25 @@ class _PollReader(SimpleDataSourceStreamReader):
         self._cache[poll_id] = result
         return result
 
+    @staticmethod
+    def _last_of(offset: dict) -> str:
+        """The 'last consumed name' anchor of an offset. An offset with
+        polls consumed but no anchor comes from a checkpoint written by
+        the positional-offset format this source no longer speaks —
+        fail loud instead of silently re-ingesting from the first file."""
+        if offset["index"] > 0 and "last" not in offset:
+            raise ValueError(
+                f"offset {offset} has no 'last' anchor — checkpoint from an "
+                "incompatible (positional-offset) version of metlink_poll; "
+                "restart the stream with a fresh checkpoint directory"
+            )
+        return offset.get("last", "")
+
     # -- the streaming contract -------------------------------------------
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         i = start["index"]
         if self._snapshot_dir:
-            pending = self._names_after(start.get("last", ""))
+            pending = self._names_after(self._last_of(start))
             if not pending:  # nothing new: empty batch, offset unchanged
                 return iter(()), dict(start)
             name = pending[0]
@@ -148,14 +162,28 @@ class _PollReader(SimpleDataSourceStreamReader):
                 # immune to files that landed inside the range since
                 names = [self._names[i] for i in ids]
             else:
-                # post-restart fallback: re-enumerate the name range
-                # (exact while landing names stay monotone — the same
-                # contract read() relies on)
+                # Post-restart fallback: re-enumerate the name range.
+                # Exact iff the monotone-landing contract held (then
+                # the range IS the served sequence). A count mismatch
+                # means the contract was violated (an out-of-order file
+                # landed inside the range) or a served file was deleted
+                # — either way the original batch is unreconstructible,
+                # so fail loud instead of silently replaying different
+                # rows than were first emitted.
                 names = [
                     n
-                    for n in self._names_after(start.get("last", ""))
-                    if n <= end.get("last", "")
-                ][: len(ids)]
+                    for n in self._names_after(self._last_of(start))
+                    if n <= self._last_of(end)
+                ]
+                if len(names) != len(ids):
+                    raise RuntimeError(
+                        f"metlink_poll replay of polls {ids.start}..{ids.stop - 1} "
+                        f"found {len(names)} snapshot files in "
+                        f"({self._last_of(start)!r}, {self._last_of(end)!r}] — "
+                        "the snapshot directory changed out-of-order since the "
+                        "checkpoint (late out-of-order landing or deleted file); "
+                        "cannot reconstruct the original batch"
+                    )
             rows = []
             for poll_id, name in zip(ids, names):
                 fetched_at, raw = self._read_snapshot(name)

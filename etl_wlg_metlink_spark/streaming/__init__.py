@@ -27,13 +27,11 @@ def _run_with_state_partitions(spark: SparkSession, n: int, thunk):
     overhead, so the session's CPU-count default is mostly fixed cost
     at ~10⁴-key test scale (a per-query knob in production). The conf
     is read at stream START and every runner fully materializes before
-    returning, so save/restore around the thunk is sound."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    returning, so overriding around the thunk is sound."""
+    from etl_wlg_metlink_spark.session import conf_override
+
+    with conf_override(spark, {"spark.sql.shuffle.partitions": str(n)}):
         return thunk()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def s1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:

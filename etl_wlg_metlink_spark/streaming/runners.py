@@ -197,12 +197,13 @@ def run_until_idle(
     one report."""
     import time
 
+    from etl_wlg_metlink_spark.session import conf_override
+
     spark = stream_df.sparkSession
-    conf_key = "spark.sql.streaming.noDataProgressEventInterval"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "250ms")
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    try:
+    with conf_override(
+        spark, {"spark.sql.streaming.noDataProgressEventInterval": "250ms"}
+    ):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -221,11 +222,6 @@ def run_until_idle(
             idle = idle + 1 if p["numInputRows"] == 0 else 0
         q.stop()
         q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 

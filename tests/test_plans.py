@@ -84,6 +84,7 @@ def test_runtime_bloom_filter_prunes_big_join_side(spark, sf_dir):
     it (the thresholds are the only difference vs production)."""
     from pyspark.sql import functions as F
 
+    from etl_wlg_metlink_spark.session import conf_override
     from etl_wlg_metlink_spark.tables import load
 
     tuned = {
@@ -92,10 +93,7 @@ def test_runtime_bloom_filter_prunes_big_join_side(spark, sf_dir):
         "applicationSideScanSizeThreshold": "1KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k, None) for k in tuned}
-    try:
-        for k, v in tuned.items():
-            spark.conf.set(k, v)
+    with conf_override(spark, tuned):
         li = load(spark, sf_dir, "lineitem")
         orders = load(spark, sf_dir, "orders").where(
             F.col("o_orderpriority") == "1-URGENT"
@@ -108,12 +106,6 @@ def test_runtime_bloom_filter_prunes_big_join_side(spark, sf_dir):
         plan = _plan(j)
         assert "bloom_filter_agg" in plan
         assert "might_contain" in plan  # the probe applied to the big scan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_l12_is_single_fused_python_pass(spark, sf_dir):

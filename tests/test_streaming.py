@@ -320,13 +320,17 @@ def test_ttl_transform_with_state_parity(spark, tmp_path):
         "google.protobuf",
         reason="transformWithStateInPandas worker requires protobuf",
     )
+    from etl_wlg_metlink_spark.session import conf_override
+
     _write_ttl_fixture(tmp_path)
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with conf_override(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        },
+    ):
         result = runners.run_available_now(
             runners.track_ttl_transform_with_state(
                 _ttl_stream(spark, tmp_path), ttl_seconds=3600
@@ -335,13 +339,6 @@ def test_ttl_transform_with_state_parity(spark, tmp_path):
             output_mode="append",
         )
         closed = _closed_tracks(result)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     assert closed == _TTL_EXPECTED
 
 
@@ -393,3 +390,35 @@ def test_poll_reader_offsets_stable_under_late_files(tmp_path):
     (tmp_path / "c.json").write_text('{"c": 1}')
     rows3, off3 = reader.read(off1)
     assert [r[2] for r in rows3] == ['{"c": 1}'] and off3["last"] == "c.json"
+
+
+def test_poll_reader_rejects_incompatible_and_violated_offsets(tmp_path):
+    """Checkpoint-recovery paths fail loud, never silently re-ingest:
+    an old positional-format offset (no 'last' anchor) is rejected, and
+    a replay whose name range no longer matches the consumed sequence
+    (out-of-order landing / deleted file) raises instead of replaying
+    different rows than were originally emitted."""
+    import pytest
+
+    from etl_wlg_metlink_spark.sources.poll_source import _PollReader
+
+    (tmp_path / "b.json").write_text('{"b": 1}')
+    reader = _PollReader({"snapshot_dir": str(tmp_path)})
+
+    with pytest.raises(ValueError, match="incompatible"):
+        reader.read({"index": 1})
+    with pytest.raises(ValueError, match="incompatible"):
+        list(reader.readBetweenOffsets({"index": 0, "last": ""}, {"index": 1}))
+
+    # consume b.json, then simulate a restart (per-poll name map gone)
+    start = reader.initialOffset()
+    _, off1 = reader.read(start)
+    restarted = _PollReader({"snapshot_dir": str(tmp_path)})
+    # a.json landed out-of-order inside the committed range
+    (tmp_path / "a.json").write_text('{"a": 1}')
+    with pytest.raises(RuntimeError, match="cannot reconstruct"):
+        list(restarted.readBetweenOffsets(start, off1))
+    # with the directory matching the contract again, replay is exact
+    (tmp_path / "a.json").unlink()
+    replay = list(restarted.readBetweenOffsets(start, off1))
+    assert [r[2] for r in replay] == ['{"b": 1}']
