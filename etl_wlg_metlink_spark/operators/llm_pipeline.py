@@ -1690,6 +1690,36 @@ def l28_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l30_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length trimming — the corpus-curation pass that
+    drops pathological outliers (truncated fragments below P5, merged/
+    runaway documents above P95) before training: keep docs strictly
+    inside the (P5, P95) char-length band, rolled up per language.
+
+    Scale shape: the thresholds are TWO SCALARS from one aggregation —
+    a 1-row relation broadcast-cross-joined onto the corpus, so the
+    filter is map-side and the corpus never shuffles for it; the only
+    corpus shuffle is the #langs-sized rollup. Exact interpolated
+    percentile here (bit-identical to DuckDB's quantile_cont, which is
+    what makes the oracle exact); at 100 TB swap in x11's
+    approx_percentile sketch for the threshold row — same plan shape,
+    documented tolerance instead of exactness."""
+    docs = load(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    kept = docs.crossJoin(F.broadcast(th)).where(
+        (F.col("n_chars") > F.col("lo")) & (F.col("n_chars") < F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1720,6 +1750,7 @@ QUERIES = {
     "l27_pii_redaction": l27_pii_redaction,
     "l28_cross_source_overlap": l28_cross_source_overlap,
     "l29_dedup_manifest": l29_dedup_manifest,
+    "l30_length_trim": l30_length_trim,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2469,5 +2500,19 @@ ORACLE = {
                     THEN 'keep' ELSE 'drop' END AS verdict
         FROM documents d
         LEFT JOIN l{L22_ITERS} l ON l.node = d.doc_id
+    """,
+    "l30_length_trim": """
+        WITH th AS (
+          SELECT quantile_cont(n_chars, 0.05) AS lo,
+                 quantile_cont(n_chars, 0.95) AS hi
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_kept,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents, th
+        WHERE n_chars > lo AND n_chars < hi
+        GROUP BY lang
     """,
 }

@@ -135,6 +135,7 @@ _ORDER = (
     "l27_pii_redaction",
     "l28_cross_source_overlap",
     "l29_dedup_manifest",
+    "l30_length_trim",
 )
 
 
