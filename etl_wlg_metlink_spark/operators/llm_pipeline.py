@@ -1165,6 +1165,16 @@ L20_HI = -4.88  # more predictable than this → repetitive/templated
 L20_LO = -4.95  # less predictable than this → unusual vocabulary mix
 
 
+#: l20 hot-head size: the K most frequent words whose LM rows are
+#: broadcast. Bounded constant — independent of corpus size — so the
+#: broadcast never grows with the data. Zipf's law puts the bulk of
+#: token MASS in this head, so almost every token scores map-side.
+#: 16 here (test vocab is 31 words — BOTH paths must actually execute
+#: at test scale, an always-empty cold branch would be untested code);
+#: production would use ~10⁵-10⁶ (a few MB broadcast).
+L20_HOT_K = 16
+
+
 def l20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM scoring — the CCNet-style perplexity quality filter
     in front of LLM training ingestion: build a unigram language model
@@ -1172,21 +1182,36 @@ def l20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean log2-probability of its tokens, and bucket into
     repetitive / ok / unusual by fixed thresholds.
 
-    Scale shape: one explode + one groupBy(word) build the LM (the
-    vocabulary is ~log-corpus bounded, so the fitted model broadcasts;
-    at web scale split hot head words broadcast + cold tail shuffle).
-    The scoring join is then map-side against the broadcast LM — the
-    100 TB side never shuffles on the (very skewed) word key, which a
-    plain shuffle join would suffer on badly."""
+    Scale shape (head/tail split): one explode + one groupBy(word)
+    build the LM. The fitted model is NOT broadcast whole — at web
+    scale the vocabulary (every distinct token, including noise) is
+    unbounded. Instead the L20_HOT_K most frequent words broadcast
+    (bounded by construction, covering the bulk of token mass under
+    Zipf), and only the residual cold-tail tokens take a shuffle join
+    against the anti-joined tail LM. The shuffled key set is exactly
+    the NON-hot words, so the skewed head keys — the ones a plain
+    shuffle join would die on — never shuffle; cold keys are rare by
+    definition. The split is pure execution strategy: every word lands
+    in exactly one side, so results are independent of L20_HOT_K (the
+    oracle runs the unsplit SQL)."""
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
     vocab = tokens.groupBy("w").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
     lm = vocab.crossJoin(F.broadcast(total)).select(
-        "w", F.log2(F.col("c") / F.col("total")).alias("logp")
+        "w", "c", F.log2(F.col("c") / F.col("total")).alias("logp")
     )
+    # Hot head: global top-K by frequency (TakeOrderedAndProject — no
+    # full sort); ties broken by word for determinism of the SPLIT
+    # (the scored result is split-invariant either way).
+    hot = lm.orderBy(F.col("c").desc(), "w").limit(L20_HOT_K).select("w", "logp")
+    cold = lm.join(hot.select("w"), "w", "left_anti").select("w", "logp")
+    hot_scored = tokens.join(F.broadcast(hot), "w").select("doc_id", "logp")
+    # Cold tokens are the residual minority of token mass; their word
+    # keys are unskewed (each is rare), so this shuffle is benign.
+    cold_scored = tokens.join(cold, "w").select("doc_id", "logp")
     scored = (
-        tokens.join(F.broadcast(lm), "w")
+        hot_scored.unionByName(cold_scored)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1258,42 +1283,44 @@ def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-L22_ITERS = 3
+#: Convergence cap for min-label propagation. Rounds needed = graph
+#: diameter; near-dup clusters are shallow (a handful of hops), and the
+#: cap only guards against a pathological chain. The loop exits as soon
+#: as a round changes nothing.
+L22_MAX_ITERS = 20
 
 
-def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, lbl) after L22_ITERS min-label propagation rounds over
-    l6's verified near-dup pairs: each clustered doc carries its
-    component's minimum doc_id. Shared by l22 (cluster rollup) and
-    l29 (keep/drop manifest).
+def _min_label_propagation(
+    pairs: DataFrame, max_iters: int = L22_MAX_ITERS
+) -> DataFrame:
+    """(node, lbl) connected-component labels over an undirected pair
+    relation (doc_i, doc_j): min-label propagation until a round
+    changes no label (capped at max_iters). Each round is one join +
+    one groupBy(min) over the edges — cost linear in edges — followed
+    by an existence probe on the eagerly-checkpointed round result, so
+    the convergence check never recomputes the join.
 
-    Each iteration is one join + one groupBy(min) — the classic
-    iterated-CC shape; L22_ITERS=3 covers the synthetic clusters'
-    diameter and keeps the result deterministic for the oracle, which
-    unrolls the identical three rounds. Production loops until a
-    `changed == 0` convergence check (O(log n) rounds with large-star/
-    small-star pairing); per-round cost is linear in edges, and near-dup
-    graphs are sparse by construction — the LSH stage already bounded
-    the edge count."""
-    # materialize=True: the pair set is eagerly checkpointed (lineage
-    # truncated — with lazy persist the per-round plans embedded
-    # ~2^rounds copies of the whole LSH pipeline, hundreds of exchanges
-    # of pure planning overhead by round 3, the classic iterative-
-    # algorithm trap) and the upstream diamond cache is released.
-    # Near-dup graphs are tiny relative to the corpus (pairs only where
-    # jaccard >= 0.8); the iteration reuses them L22_ITERS times.
-    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True).select(
-        "doc_i", "doc_j"
-    )
+    The per-round localCheckpoint is load-bearing twice over: it
+    truncates lineage (lazy persist embedded ~2^rounds copies of the
+    upstream plan — the classic iterative-algorithm trap) and makes
+    the `changed` probe a scan of materialized rows.
+
+    Production note: plain propagation needs diameter rounds;
+    large-star/small-star pairing gets O(log n). Near-dup graphs are
+    sparse and shallow by construction — the LSH stage already bounded
+    the edge count — so diameter rounds with a cap is the right
+    simplicity/scale trade here."""
+    pairs = pairs.select("doc_i", "doc_j")
     edges = pairs.select(
         F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
     ).unionAll(pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst")))
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(L22_ITERS):
-        # each round reads `labels` TWICE (neighbor lookup + carry-over)
-        labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")),
@@ -1302,13 +1329,41 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("src_lbl").alias("nbr_lbl"))
         )
-        labels = labels.join(nbr, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
-                "lbl"
-            ),
+        merged = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
         )
+        changed = (
+            merged.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        )
+        labels = merged.select("node", "lbl")
+        if changed == 0:
+            break
     return labels
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) converged component labels over l6's verified
+    near-dup pairs: each clustered doc carries its component's minimum
+    doc_id. Shared by l22 (cluster rollup) and l29 (keep/drop
+    manifest). The oracle unrolls three propagation rounds in SQL —
+    valid because the test corpus converges within 3 rounds, which
+    tests/test_queries.py asserts explicitly (a deeper corpus would
+    need more unrolled rounds oracle-side; the engine loop converges
+    regardless)."""
+    # materialize=True: the pair set is eagerly checkpointed and the
+    # upstream diamond cache released. Near-dup graphs are tiny
+    # relative to the corpus (pairs only where jaccard >= 0.8); the
+    # iteration reuses them every round.
+    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    return _min_label_propagation(pairs)
 
 
 def l22_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,7 +1713,13 @@ def l28_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
         "source",
     ).distinct()
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    # The fingerprint relation feeds a diamond (sizes + BOTH sides of
+    # the self-join). Eager localCheckpoint instead of persist: same
+    # compute-once effect, but the blocks are released by the context
+    # cleaner as soon as the result DataFrame is dropped — a plain
+    # persist here stayed pinned for the session (the dead-cache class
+    # the LSH diamond fix removed).
+    fp = fp.localCheckpoint(eager=True)
     sizes = fp.groupBy("source").agg(F.count("*").alias("n_distinct"))
     shared = (
         fp.alias("a")
@@ -1701,14 +1762,52 @@ def l30_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is map-side and the corpus never shuffles for it; the only
     corpus shuffle is the #langs-sized rollup. Exact interpolated
     percentile here (bit-identical to DuckDB's quantile_cont, which is
-    what makes the oracle exact); at 100 TB swap in x11's
-    approx_percentile sketch for the threshold row — same plan shape,
-    documented tolerance instead of exactness."""
+    what makes the oracle exact); l31_length_trim_sketch is the shipped
+    100 TB twin — same plan shape with a bounded percentile_approx
+    sketch in place of the buffer-everything exact aggregate."""
     docs = load(spark, sf_dir, "documents")
     th = docs.agg(
         F.percentile("n_chars", F.lit(0.05)).alias("lo"),
         F.percentile("n_chars", F.lit(0.95)).alias("hi"),
     )
+    kept = docs.crossJoin(F.broadcast(th)).where(
+        (F.col("n_chars") > F.col("lo")) & (F.col("n_chars") < F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+#: l31 sketch accuracy: GK rank-error guarantee is 1/accuracy (1e-4
+#: relative rank), with agg-buffer size bounded by ~accuracy entries
+#: regardless of corpus size.
+L31_ACCURACY = 10000
+
+
+def l31_length_trim_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-threshold twin of l30 — the path that actually ships at
+    100 TB. `percentile_approx` keeps a bounded Greenwald-Khanna sketch
+    (≤ ~L31_ACCURACY entries) in the aggregation buffer where l30's
+    exact interpolated percentile buffers EVERY value — an OOM at
+    corpus scale. Same plan shape as l30 otherwise: 1-row threshold
+    relation broadcast onto the corpus, map-side band filter, #langs
+    rollup.
+
+    Oracle exactness: the sketch returns actual corpus values
+    (discrete, no interpolation), and while n ≤ accuracy the sketch is
+    lossless, so DuckDB's quantile_disc pins the thresholds EXACTLY at
+    every test SF (verified 0.001/0.01/0.1). Beyond the lossless
+    regime the guarantee degrades to rank error ≤ n/accuracy — the
+    documented tolerance this variant trades for bounded memory."""
+    docs = load(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.percentile_approx(
+            "n_chars", F.array(F.lit(0.05), F.lit(0.95)), F.lit(L31_ACCURACY)
+        ).alias("band")
+    ).select(F.col("band")[0].alias("lo"), F.col("band")[1].alias("hi"))
     kept = docs.crossJoin(F.broadcast(th)).where(
         (F.col("n_chars") > F.col("lo")) & (F.col("n_chars") < F.col("hi"))
     )
@@ -1751,6 +1850,7 @@ QUERIES = {
     "l28_cross_source_overlap": l28_cross_source_overlap,
     "l29_dedup_manifest": l29_dedup_manifest,
     "l30_length_trim": l30_length_trim,
+    "l31_length_trim_sketch": l31_length_trim_sketch,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1859,9 +1959,13 @@ _DUCK_L6_CTES = f"""sh AS ({_DUCK_SHINGLES}),
           JOIN hsets y ON cand.doc_j = y.doc_id
         )"""
 
-#: l22's three unrolled min-label-propagation rounds (must mirror
-#: L22_ITERS exactly — the Spark loop and this SQL are the same
-#: iteration count by construction).
+#: Rounds unrolled in the l22/l29 oracle SQL. The engine loop runs to
+#: CONVERGENCE (capped at L22_MAX_ITERS); the unrolled oracle equals
+#: the converged answer iff the corpus converges within this many
+#: rounds — asserted on the test corpus by
+#: tests/test_queries.py::test_l22_converges_within_oracle_rounds.
+L22_ORACLE_ROUNDS = 3
+
 _DUCK_L22_ITERS = "".join(
     f""",
         l{i + 1} AS (
@@ -1872,7 +1976,7 @@ _DUCK_L22_ITERS = "".join(
           LEFT JOIN l{i} x ON x.node = sym.src
           GROUP BY l{i}.node, l{i}.lbl
         )"""
-    for i in range(L22_ITERS)
+    for i in range(L22_ORACLE_ROUNDS)
 )
 
 _L21_RATE_SQL = " ".join(
@@ -2300,7 +2404,7 @@ ORACLE = {
         ){_DUCK_L22_ITERS}
         SELECT lbl AS cluster_id, COUNT(*) AS n_members,
                CAST(SUM(node) AS BIGINT) AS member_sum
-        FROM l{L22_ITERS} GROUP BY lbl
+        FROM l{L22_ORACLE_ROUNDS} GROUP BY lbl
     """,
     "l23_contamination": f"""
         WITH ws AS (
@@ -2499,12 +2603,29 @@ ORACLE = {
                CASE WHEN COALESCE(l.lbl, d.doc_id) = d.doc_id
                     THEN 'keep' ELSE 'drop' END AS verdict
         FROM documents d
-        LEFT JOIN l{L22_ITERS} l ON l.node = d.doc_id
+        LEFT JOIN l{L22_ORACLE_ROUNDS} l ON l.node = d.doc_id
     """,
     "l30_length_trim": """
         WITH th AS (
           SELECT quantile_cont(n_chars, 0.05) AS lo,
                  quantile_cont(n_chars, 0.95) AS hi
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_kept,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents, th
+        WHERE n_chars > lo AND n_chars < hi
+        GROUP BY lang
+    """,
+    # Exact twin of the sketch thresholds while n <= L31_ACCURACY
+    # (lossless GK sketch returns true discrete percentiles — see
+    # l31 docstring); quantile_disc is DuckDB's discrete percentile.
+    "l31_length_trim_sketch": """
+        WITH th AS (
+          SELECT quantile_disc(n_chars, 0.05) AS lo,
+                 quantile_disc(n_chars, 0.95) AS hi
           FROM documents
         )
         SELECT lang, COUNT(*) AS n_kept,

@@ -35,10 +35,16 @@ def _nan_null(c):
 def _flatten(features: DataFrame) -> DataFrame:
     f = F.col("feature")
     p = f["properties"]
-    # Unpartitioned window = single partition: acceptable ONLY because
-    # m1-m3 flatten the bounded fixture envelope (tens of rows) for the
-    # oracle compare; the at-scale composed pipeline (m4) never ranks
-    # globally.
+    # FIXTURE-ONLY single-partition global rank. `ord` must be a
+    # globally consecutive insertion sequence (the reference's Map
+    # iteration order, task.ts:323-338), which is inherently a global
+    # window — salting would renumber per salt. Acceptable ONLY because
+    # m1-m3 flatten the bounded fixture envelope (tens of rows, one
+    # snapshot) for the oracle compare; the at-scale composed pipeline
+    # (m4) never ranks globally. A constant partitionBy key doesn't
+    # silence the WindowExec warning either — Catalyst folds foldable
+    # partition keys away — so the single-partition plan is declared
+    # here instead of disguised.
     w = Window.orderBy("first_idx")
 
     return features.select(

@@ -136,6 +136,7 @@ _ORDER = (
     "l28_cross_source_overlap",
     "l29_dedup_manifest",
     "l30_length_trim",
+    "l31_length_trim_sketch",
 )
 
 

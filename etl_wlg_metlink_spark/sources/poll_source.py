@@ -39,10 +39,20 @@ Two modes, selected by options:
 
 - ``snapshot_dir``: a directory of ``*.json`` envelope files consumed
   one per micro-batch in sorted order — the offline/test mode, and
-  also the production landing-directory pattern.
+  also the production landing-directory pattern. REQUIREMENT: landing
+  names must sort in arrival order — zero-padded sequence numbers
+  (``snap_000009.json``, never ``snap_9.json`` followed by
+  ``snap_10.json``, which sorts EARLIER) or fixed-width UTC
+  timestamps. A file landing with a name that sorts at or before the
+  consumed anchor is never served (offset stability depends on it);
+  ``read()`` warns when it detects one so the misconfiguration is
+  observable instead of silent data loss.
 - ``url`` (+ ``api_key``): live mode, one HTTP GET per micro-batch via
-  stdlib urllib. Never exercised in tests (no network); the fetch
-  function is module-level so tests may monkeypatch it.
+  stdlib urllib (no external network in CI — the reader-level tests
+  monkeypatch the module-level fetch function in sources/gtfs.py; the
+  end-to-end stream test polls a localhost HTTP server through the
+  real fetch stack, since the DataSource reader runs in a separate
+  Python worker process where a monkeypatch can't reach).
 """
 
 from __future__ import annotations
@@ -50,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -92,6 +103,12 @@ class _PollReader(SimpleDataSourceStreamReader):
         #: replay re-reads the immutable file by NAME, so a late file
         #: landing inside an already-read range can't change a replay
         self._names: dict[int, str] = {}
+        #: basenames observed in a previous read()'s listing, or None
+        #: before the first listing. Baseline for detecting NEW files
+        #: that sort at/before the consumed anchor (a producer
+        #: violating the monotone-name contract, e.g. non-zero-padded
+        #: sequence numbers) — those are permanently skipped, so warn.
+        self._seen: set[str] | None = None
 
     # -- offset bookkeeping ------------------------------------------------
     def initialOffset(self) -> dict:
@@ -138,16 +155,46 @@ class _PollReader(SimpleDataSourceStreamReader):
         return offset.get("last", "")
 
     # -- the streaming contract -------------------------------------------
+    def _warn_on_unservable(self, last: str) -> None:
+        """Warn when a file APPEARED (vs the previous listing) with a
+        name sorting at/before the consumed anchor: it can never be
+        served — the producer broke the monotone-name contract (see
+        module docstring's snapshot_dir option docs). Files at/before
+        the anchor in the FIRST listing of this process are presumed
+        already consumed by the run that wrote the checkpoint."""
+        listing = {
+            f for f in os.listdir(self._snapshot_dir) if f.endswith(".json")
+        }
+        if self._seen is not None:
+            lost = sorted(f for f in listing - self._seen if f <= last)
+            if lost:
+                warnings.warn(
+                    f"metlink_poll: new snapshot file(s) {lost} sort at/"
+                    f"before the consumed anchor {last!r} and will NEVER be "
+                    "served — the producer violated the monotone landing-"
+                    "name contract (use zero-padded sequence numbers or "
+                    "fixed-width timestamps)",
+                    stacklevel=2,
+                )
+        self._seen = listing
+
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         i = start["index"]
         if self._snapshot_dir:
-            pending = self._names_after(self._last_of(start))
+            last = self._last_of(start)
+            self._warn_on_unservable(last)
+            pending = self._names_after(last)
             if not pending:  # nothing new: empty batch, offset unchanged
                 return iter(()), dict(start)
             name = pending[0]
             self._names[i] = name
             fetched_at, raw = self._read_snapshot(name)
             return iter([(i, fetched_at, raw)]), {"index": i + 1, "last": name}
+        # HTTP mode deliberately tolerates the legacy anchor-less offset
+        # shape (start.get, not _last_of): 'last' is only the snapshot
+        # replay anchor, and HTTP replay is cache/positional regardless,
+        # so an old checkpoint loses nothing here — unlike snapshot mode,
+        # where a missing anchor would silently re-ingest from file one.
         fetched_at, raw = self._poll_http(i)
         return (
             iter([(i, fetched_at, raw)]),
@@ -210,12 +257,20 @@ def register(spark) -> None:
     spark.dataSource.register(MetlinkPollDataSource)
 
 
-def metlink_poll_stream(spark, snapshot_dir: str):
+def metlink_poll_stream(
+    spark,
+    snapshot_dir: str | None = None,
+    *,
+    url: str | None = None,
+    api_key: str = "",
+):
     """The reference's control loop as a resident stream: poll →
     envelope validation → explode to entities (task.ts:150-196). Each
     micro-batch is one poll; downstream consumers compose the same
     pipeline stages as the batch path (pipelines/metlink.run via
-    foreachBatch, or any streaming operator).
+    foreachBatch, or any streaming operator). Pass ``snapshot_dir``
+    (landing-directory mode) or ``url`` (+ ``api_key``, live mode —
+    one HTTP GET per micro-batch, task.ts:150-167).
 
     Envelope validation here is the STREAMING analogue of S2: an
     unparseable/malformed envelope yields `entity IS NULL` rows that
@@ -227,11 +282,12 @@ def metlink_poll_stream(spark, snapshot_dir: str):
     from etl_wlg_metlink_spark.schemas import VEHICLE_POSITIONS_RESPONSE
 
     register(spark)
-    raw = (
-        spark.readStream.format("metlink_poll")
-        .option("snapshot_dir", snapshot_dir)
-        .load()
-    )
+    reader = spark.readStream.format("metlink_poll")
+    if snapshot_dir:
+        reader = reader.option("snapshot_dir", snapshot_dir)
+    if url:
+        reader = reader.option("url", url).option("api_key", api_key)
+    raw = reader.load()
     parsed = raw.select(
         "poll_id",
         F.from_json(F.col("raw"), VEHICLE_POSITIONS_RESPONSE).alias("body"),

@@ -24,6 +24,7 @@ BNLJ_OK = {
     "l17_ivf_ann",  # N×K seed-assignment scoring against broadcast seeds
     "l20_unigram_logprob",  # 1-row broadcast corpus-total joined to vocab
     "l30_length_trim",  # 1-row broadcast percentile thresholds onto the corpus
+    "l31_length_trim_sketch",  # same shape, sketch-derived threshold row
 }
 
 

@@ -137,6 +137,52 @@ def test_l22_clusters_cover_l6_pairs(spark, sf_dir):
         assert r["member_sum"] >= r["cluster_id"] * r["n_members"]
 
 
+def test_l22_chain_needs_convergence_loop(spark):
+    """A diameter-4 path graph 1-2-3-4-5: three fixed propagation
+    rounds leave node 5 labeled 2 (min label 1 is 4 hops away); the
+    convergence loop must carry label 1 to every node. This is the
+    case that motivated replacing fixed-iteration CC with the
+    changed==0 loop."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _min_label_propagation,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_i long, doc_j long"
+    )
+    fixed3 = {
+        r["node"]: r["lbl"]
+        for r in _min_label_propagation(chain, max_iters=3).collect()
+    }
+    assert fixed3[5] != 1, "diameter-4 chain should NOT converge in 3 rounds"
+    converged = {
+        r["node"]: r["lbl"] for r in _min_label_propagation(chain).collect()
+    }
+    assert converged == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_l22_converges_within_oracle_rounds(spark, sf_dir):
+    """The l22/l29 oracle SQL unrolls L22_ORACLE_ROUNDS propagation
+    rounds; it equals the engine's converged answer only if the test
+    corpus converges within that many rounds. Pin that precondition:
+    capped-at-oracle-rounds labels == converged labels."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L22_ORACLE_ROUNDS,
+        _minhash_verified_pairs,
+        _min_label_propagation,
+    )
+
+    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    capped = {
+        r["node"]: r["lbl"]
+        for r in _min_label_propagation(pairs, max_iters=L22_ORACLE_ROUNDS).collect()
+    }
+    converged = {
+        r["node"]: r["lbl"] for r in _min_label_propagation(pairs).collect()
+    }
+    assert capped == converged
+
+
 def test_l23_contamination_invariants(spark, sf_dir):
     rows = queries()["l23_contamination"](spark, sf_dir).collect()
     assert rows

@@ -378,8 +378,12 @@ def test_poll_reader_offsets_stable_under_late_files(tmp_path):
     (tmp_path / "a.json").write_text('{"a": 1}')
 
     # the next poll must not re-serve b.json (monotone-name contract:
-    # the out-of-order name is skipped, never double-ingested)
-    rows2, off2 = reader.read(off1)
+    # the out-of-order name is skipped, never double-ingested) — but
+    # the permanently-lost file must be observable, not silent
+    import pytest
+
+    with pytest.warns(UserWarning, match="NEVER be served"):
+        rows2, off2 = reader.read(off1)
     assert list(rows2) == [] and off2 == off1
 
     # replay of the committed range still returns exactly b.json
@@ -422,3 +426,124 @@ def test_poll_reader_rejects_incompatible_and_violated_offsets(tmp_path):
     (tmp_path / "a.json").unlink()
     replay = list(restarted.readBetweenOffsets(start, off1))
     assert [r[2] for r in replay] == ['{"b": 1}']
+
+
+def test_poll_reader_http_mode_cache_replay_and_eviction(monkeypatch):
+    """Live-HTTP mode driven through a monkeypatched fetch: each
+    read() is one GET; readBetweenOffsets of uncommitted polls is
+    served from the in-process cache (zero extra GETs — replaying a
+    network poll must not re-poll); commit() evicts finished polls so
+    a resident poller holds O(in-flight) state; and the legacy
+    anchor-less offset shape stays accepted here (HTTP replay is
+    cache/positional — only snapshot mode fails loud on it)."""
+    from etl_wlg_metlink_spark.sources import gtfs
+    from etl_wlg_metlink_spark.sources.poll_source import _PollReader
+
+    calls: list[tuple[str, str]] = []
+
+    def fake_fetch(url: str, headers: dict) -> str:
+        calls.append((url, headers["x-api-key"]))
+        return json.dumps({"poll": len(calls)})
+
+    monkeypatch.setattr(gtfs, "_urllib_fetch", fake_fetch)
+    reader = _PollReader({"url": "http://unit.test/api", "api_key": "k1"})
+
+    start = reader.initialOffset()
+    rows1, off1 = reader.read(start)
+    rows2, off2 = reader.read(off1)
+    assert [r[2] for r in rows1] == ['{"poll": 1}']
+    assert [r[2] for r in rows2] == ['{"poll": 2}']
+    assert calls == [("http://unit.test/api", "k1")] * 2
+
+    # replay before commit: exact same rows, straight from cache
+    replay = list(reader.readBetweenOffsets(start, off2))
+    assert [r[2] for r in replay] == ['{"poll": 1}', '{"poll": 2}']
+    assert len(calls) == 2, "replay of cached polls must not re-fetch"
+
+    # legacy positional offset (index>0, no 'last') is fine in HTTP mode
+    _, off_legacy = reader.read({"index": 2})
+    assert off_legacy["index"] == 3 and len(calls) == 3
+
+    # commit evicts everything below the committed index
+    reader.commit(off2)
+    assert set(reader._cache) == {2}, "committed polls must leave the cache"
+
+
+def test_metlink_poll_live_http_stream(spark):
+    """The live-HTTP poll mode end-to-end through the DataSource
+    against a real (localhost) HTTP endpoint: N micro-batches = N
+    GETs through the genuine urllib fetch path, each envelope
+    exploded into its entities with the right poll_id — the resident
+    form of task.ts:150-167. A localhost server rather than a
+    monkeypatch because the DataSource reader runs in a separate
+    Python worker process, out of monkeypatch's reach — which makes
+    this the one test that exercises the real fetch stack."""
+    import http.server
+    import threading
+    import time as _time
+
+    from etl_wlg_metlink_spark.sources import poll_source
+
+    snap1 = json.loads(RAW_JSON)
+    snap2 = json.loads(RAW_JSON)
+    snap2["entity"] = snap2["entity"][1:]
+    envelopes = [json.dumps(snap1), json.dumps(snap2)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        n_calls = 0
+        api_keys: list = []
+
+        def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+            Handler.api_keys.append(self.headers.get("x-api-key"))
+            body = envelopes[
+                min(Handler.n_calls, len(envelopes) - 1)
+            ].encode("utf-8")
+            Handler.n_calls += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    q = None
+    try:
+        stream = poll_source.metlink_poll_stream(
+            spark, url=f"http://127.0.0.1:{port}/api", api_key="k1"
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("poll_live_http")
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            polls = {
+                r["poll_id"]
+                for r in spark.table("poll_live_http").select("poll_id").collect()
+            }
+            if {0, 1} <= polls:
+                break
+            _time.sleep(0.25)
+    finally:
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+        srv.shutdown()
+        srv.server_close()
+    got = spark.table("poll_live_http").collect()
+    by_poll = {}
+    for r in got:
+        by_poll.setdefault(r["poll_id"], []).append(r)
+    assert {0, 1} <= set(by_poll), f"expected >=2 polls, saw {sorted(by_poll)}"
+    assert len(by_poll[0]) == len(snap1["entity"])
+    assert len(by_poll[1]) == len(snap2["entity"])
+    assert Handler.n_calls >= 2, "each micro-batch must be one real GET"
+    assert set(Handler.api_keys) == {"k1"}, "x-api-key header must be sent"
