@@ -562,32 +562,42 @@ def l11_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 6  # 2^6 = 64 buckets; sized so buckets hold ~corpus/64 vectors
-PROBE_HAMMING = 1  # multi-probe: also search buckets 1 bit away
+#: Multi-probe radii reported side by side: recall@5 at Hamming 0
+#: (identity bucket only), ≤1 (7 buckets, the production default), and
+#: ≤2 (22 buckets). One output row per query carries all three, so the
+#: recall / scan-fraction trade is visible without re-running the scan.
+PROBE_RADII = (0, 1, 2)
 
 
-def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l12_lsh_ann_recall(
+    spark: SparkSession, sf_dir: str, radii: tuple[int, ...] = PROBE_RADII
+) -> DataFrame:
     """Random-hyperplane LSH ANN — the 100 TB similarity-search path —
     self-validated against brute force: recall@5 per query (vec_id <
-    50). Planes are md5-derived so the sketch is deterministic;
-    multi-probe (Hamming ≤ 1 between sign buckets) trades a 7× probe
-    fan-out for usable recall, the standard knob when buckets are
-    sparse. On this synthetic corpus (uniform random vectors — true
-    neighbors are weak) the sketch reaches ~0.24 mean recall@5 while
-    scanning ~11% of the corpus, a ~2× lift over random candidates;
-    on real clustered embeddings the lift is far higher.
+    50) at each multi-probe radius in `radii`. Planes are md5-derived
+    so the sketch is deterministic; multi-probe (searching sign buckets
+    within Hamming r) trades probe fan-out for recall, the standard
+    knob when buckets are sparse. On this synthetic corpus (uniform
+    random vectors — true neighbors are weak) the sketch reaches ~0.24
+    mean recall@5 at r=1 while scanning ~11% of the corpus, a ~2× lift
+    over random candidates; on real clustered embeddings the lift is
+    far higher. The per-radius columns expose the trade directly:
+    r0 < r1 < r2 recall against 1/64 vs ~11% vs ~34% scan fraction.
 
     Shape: ONE fused mapInPandas pass. The bounded query set (50
     vectors, collected once driver-side — 50×64 floats) is closed over
     by the UDF; each partition computes its cosine block against all
     queries in numpy and emits only its LOCAL top-5 per (query, lane)
-    for two lanes — 'truth' (brute force) and 'ann' (sign-bucket
-    candidates within the multi-probe Hamming radius). A global window
-    merges the ≤ partitions×50×2×5 partials. The earlier broadcast-
-    nested-loop form replicated the corpus ×queries through the join
-    and ran the sketch UDF four times; this pass reads the corpus once
-    and makes one JVM→Arrow→Python round-trip — the map-side partial
-    top-k shape a 1000-executor run needs (per-task state: 50×64
-    floats + 500 partial rows, independent of corpus size).
+    for 1+len(radii) lanes — 'truth' (brute force) and one 'r{h}' lane
+    per probe radius (sign-bucket candidates within Hamming ≤ h; the
+    Hamming matrix is computed once and re-thresholded per lane). A
+    global window merges the ≤ partitions×50×lanes×5 partials. The
+    earlier broadcast-nested-loop form replicated the corpus ×queries
+    through the join and ran the sketch UDF four times; this pass reads
+    the corpus once and makes one JVM→Arrow→Python round-trip — the
+    map-side partial top-k shape a 1000-executor run needs (per-task
+    state: 50×64 floats + ~1k partial rows, independent of corpus
+    size).
 
     Non-SQL-expressible end-to-end (deterministic pseudo-random planes
     + sign-bucket candidate generation), so registered rows-only; the
@@ -641,10 +651,10 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_v: list[int] = []
             out_s: list[float] = []
             out_l: list[str] = []
-            for lane, elig in (
-                ("truth", not_self),
-                ("ann", not_self & (ham <= PROBE_HAMMING)),
-            ):
+            lanes = [("truth", not_self)] + [
+                (f"r{h}", not_self & (ham <= h)) for h in radii
+            ]
+            for lane, elig in lanes:
                 s = np.where(elig, sims, -np.inf)
                 for j in range(len(q_ids)):
                     col = s[:, j]
@@ -671,23 +681,29 @@ def l12_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").desc(), F.col("vec_id")
     )
     top = partial.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
-    # collect_set skips the other lane's nulls; a query with zero ANN
-    # candidates gets an empty ann set → recall 0, as before.
+    # collect_set skips the other lanes' nulls; a query with zero ANN
+    # candidates at radius h gets an empty r{h} set → recall 0.
     sets = top.groupBy("query_id").agg(
         F.collect_set(
             F.when(F.col("lane") == "truth", F.col("vec_id"))
         ).alias("true_top5"),
-        F.collect_set(
-            F.when(F.col("lane") == "ann", F.col("vec_id"))
-        ).alias("ann_top5"),
+        *[
+            F.collect_set(
+                F.when(F.col("lane") == f"r{h}", F.col("vec_id"))
+            ).alias(f"top5_r{h}")
+            for h in radii
+        ],
     )
     return sets.select(
         "query_id",
-        F.round(
-            F.size(F.array_intersect("true_top5", "ann_top5"))
-            / F.size("true_top5"),
-            4,
-        ).alias("recall_at_5"),
+        *[
+            F.round(
+                F.size(F.array_intersect("true_top5", f"top5_r{h}"))
+                / F.size("true_top5"),
+                4,
+            ).alias(f"recall_at_5_r{h}")
+            for h in radii
+        ],
     )
 
 

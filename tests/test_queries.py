@@ -78,6 +78,26 @@ def test_l17_ivf_consistent_with_exact(spark, sf_dir):
     assert hits > 0, "IVF found none of the exact top-5 neighbors"
 
 
+def test_l12_recall_monotone_in_radius(spark, sf_dir):
+    """Multi-probe radius widens the candidate set strictly
+    monotonically (r0 buckets ⊆ r1 ⊆ r2), so per-query recall@5 must
+    be non-decreasing in the radius, and the r2 sweep over 22 of 64
+    buckets must beat the identity bucket somewhere in aggregate."""
+    rows = queries()["l12_lsh_ann_recall"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert (
+            0.0
+            <= r["recall_at_5_r0"]
+            <= r["recall_at_5_r1"]
+            <= r["recall_at_5_r2"]
+            <= 1.0
+        )
+    assert sum(r["recall_at_5_r2"] for r in rows) > sum(
+        r["recall_at_5_r0"] for r in rows
+    )
+
+
 def test_l18_repetition_invariants(spark, sf_dir):
     rows = queries()["l18_repetition_filter"](spark, sf_dir).collect()
     assert rows
