@@ -921,6 +921,53 @@ IVF_SEED_MOD = 50
 IVF_NPROBE = 3
 
 
+def _ivf_corpus_seeds(emb: DataFrame):
+    """(corpus, seeds) for the IVF coarse quantizer: corpus rows carry
+    their norm; seeds are every IVF_SEED_MOD-th vector (deterministic
+    — a trained quantizer would slot in via l16's k-means). Seed count
+    grows ∝ corpus size, so per-cell occupancy stays ~IVF_SEED_MOD and
+    anything quadratic-within-cell stays linear overall."""
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    seeds = corpus.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    return corpus, seeds
+
+
+def _ivf_assign(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Cell assignment: each corpus vector joins the broadcast seed set
+    and keeps its max-cosine cell (one map-side broadcast join + one
+    partial-agg shuffle on vec_id — never all-pairs). argmax via
+    max(struct): partial-aggregates map-side, cheaper than a window
+    sort over the N×K assignment pairs; the negated seed_id makes the
+    tie-break "smaller seed wins". Shared by l17 (ANN search) and l35
+    (semantic dedup blocking) so the two stay on one index lineage."""
+    seed_sim = _dot(F.col("embedding"), F.col("s_emb")) / (
+        F.col("norm") * F.col("s_norm")
+    )
+    return (
+        corpus.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.struct(seed_sim.alias("s"), (-F.col("seed_id")).alias("n")).alias("sn"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("norm").alias("norm"),
+            (-F.max("sn").getField("n")).alias("cell"),
+        )
+    )
+
+
 def l17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate nearest neighbor — the second ANN scale
     path next to l12's LSH (the brief asks for "IVF or LSH"; the
@@ -942,37 +989,8 @@ def l17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible — this ANN path has a full DuckDB oracle rather
     than a rows-only check."""
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    seeds = corpus.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("s_emb"),
-        F.col("norm").alias("s_norm"),
-    )
-    seed_sim = _dot(F.col("embedding"), F.col("s_emb")) / (
-        F.col("norm") * F.col("s_norm")
-    )
-    # argmax cell per vector via max(struct): partial-aggregates map-side,
-    # cheaper than a window sort over the N×K assignment pairs. The
-    # negated seed_id makes the tie-break "smaller seed wins".
-    assign = (
-        corpus.join(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.struct(seed_sim.alias("s"), (-F.col("seed_id")).alias("n")).alias("sn"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("norm").alias("norm"),
-            (-F.max("sn").getField("n")).alias("cell"),
-        )
-    )
+    corpus, seeds = _ivf_corpus_seeds(emb)
+    assign = _ivf_assign(corpus, seeds)
     qprobe_w = Window.partitionBy("query_id").orderBy(
         F.col("q_sim").desc(), F.col("seed_id")
     )
@@ -1835,6 +1853,222 @@ def l31_length_trim_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l32 segment width. Line/paragraph-level exact dedup (the C4 /
+#: RefinedWeb pass that removes boilerplate repeated across pages)
+#: needs a sub-document unit; this corpus has no newlines, so the unit
+#: is consecutive W-word windows — same pipeline shape, different
+#: splitter.
+L32_SEG_WORDS = 8
+
+
+def l32_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup audit: split every document into
+    consecutive L32_SEG_WORDS-word segments, find each segment's first
+    occurrence corpus-wide (ordered by doc_id, then position), and
+    report per document how many of its segments are duplicates of an
+    earlier occurrence. The per-doc dup fraction is the signal C4-style
+    curation thresholds on before dropping or trimming boilerplate.
+
+    Scale shape: first-occurrence is a groupBy(segment).agg(min(struct
+    (doc_id, seg_idx))) — partially aggregated map-side, so a segment
+    repeated millions of times ("click here to subscribe") collapses to
+    one row per map task BEFORE the shuffle; a window row_number over
+    the segment key would instead sort every hot group. The join back
+    is segment-keyed (AQE splits residual skew); the final rollup
+    shuffles on doc_id. No Python anywhere — split/slice/transform are
+    codegen'd."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    n_segs = F.ceil(F.size(ws) / F.lit(L32_SEG_WORDS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * L32_SEG_WORDS + 1, L32_SEG_WORDS), " "
+        ),
+    )
+    seg_rows = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    first_occ = seg_rows.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first")
+    )
+    flagged = seg_rows.join(first_occ, "seg").select(
+        "doc_id",
+        (
+            (F.col("first.doc_id") != F.col("doc_id"))
+            | (F.col("first.seg_idx") != F.col("seg_idx"))
+        )
+        .cast("long")
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum("is_dup").alias("n_dup_segs"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_seg_frac"),
+    )
+
+
+#: l33 output dimensionality. Johnson-Lindenstrauss-style random
+#: projection 64 → 16: the cheap first stage in front of clustering /
+#: ANN when the raw embedding is wide. Components are md5-derived ints
+#: in [-1000, 1000] over millimeter-quantized inputs (l14's trick), so
+#: the whole projection is exact integer arithmetic — order-independent
+#: and bit-identical across engines, which is what buys the full
+#: oracle.
+L33_OUT_DIMS = 16
+
+
+def _l33_proj() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"l33proj{p}_{d}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for d in range(64)
+        ]
+        for p in range(L33_OUT_DIMS)
+    ]
+
+
+def l33_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction, fully inside
+    Catalyst: the 16×64 projection matrix is a LITERAL in the plan
+    (constant-folded, no broadcast, no Python), each output component
+    one zip_with·aggregate fold over the quantized embedding. Map-only
+    — the one plan shape that is trivially 100 TB-safe — and the
+    whole expression stays in whole-stage codegen, unlike a
+    pandas_udf matmul which would pay an Arrow round-trip for a
+    64-multiply dot product. Output exploded to (vec_id, out_dim,
+    component) rows so the driver's hash covers every component."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.array(*[F.lit(w) for w in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for row in _l33_proj()
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(comps).alias("out_dim", "component")
+    )
+
+
+#: l34 temperature and budget: keep rate per language is
+#: min(1, L34_C / sqrt(n_lang)) — temperature-2 mixture rebalancing
+#: (mT5-style): over-represented languages are downsampled ∝ sqrt of
+#: their share, small ones kept whole (the cap). C=10 puts the test
+#: corpus's largest stratum at ~0.68 and the smallest over the cap.
+L34_C = 10.0
+
+
+def l34_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source-mixture resampling — the pass that
+    turns a raw crawl's language/source skew into the training mixture
+    (rates ∝ n^(1/T - 1), T=2 here). Membership is deterministic:
+    md5(doc_id)-derived uniform u < rate, so the sample is reproducible
+    across runs/engines — never rand()-based, which a resumable 100 TB
+    pipeline cannot use.
+
+    Scale shape: stratum sizes are one tiny aggregation (#langs rows)
+    broadcast back onto the corpus; the keep decision is then map-side
+    (hash, compare) — the corpus is never shuffled to be sampled, and
+    the final per-stratum audit rollup is the only other shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    rates = counts.withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(L34_C) / F.sqrt(F.col("n_total")))
+    )
+    u = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_l34")))
+        % 1000000
+    ) / 1000000.0
+    kept = docs.join(F.broadcast(rates), "lang").where(u < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.first("n_total").alias("n_total"),
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+#: l35 similarity threshold. SemDeDup (Abbas et al. 2023) drops, within
+#: each embedding cluster, every non-representative member of a pair
+#: more similar than τ. Real embedding spaces use τ ≈ 0.95+; this
+#: synthetic corpus is uniform-random (within-cell cosine tops out at
+#: ~0.48), so τ is calibrated to its P99 to exercise the machinery.
+L35_TAU = 0.30
+
+
+def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup audit (SemDeDup shape): block the corpus by the
+    IVF coarse cell (shared _ivf_assign lineage with l17 — one index,
+    two consumers), compare embeddings pairwise WITHIN cells only, and
+    report per cell the pair census plus how many documents an above-τ
+    pair would drop (the higher vec_id of each pair, SemDeDup's
+    keep-the-representative rule).
+
+    Scale shape: never all-pairs — the seed rule keeps per-cell
+    occupancy at ~IVF_SEED_MOD regardless of corpus size (seeds grow
+    ∝ N), so within-cell pairing is O(N · IVF_SEED_MOD), one
+    cell-keyed self-join shuffle. Exact cosine on candidates only,
+    same sequential-fold double math as l9/l17 → full DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus, seeds = _ivf_corpus_seeds(emb)
+    assign = _ivf_assign(corpus, seeds)
+    a = assign.select(
+        "cell",
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assign.select(
+        "cell",
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .select(
+            "cell",
+            "vid_b",
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos"),
+        )
+    )
+    members = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    stats = pairs.groupBy("cell").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max("cos"), 4).alias("max_cos"),
+        F.count_distinct(
+            F.when(F.col("cos") >= L35_TAU, F.col("vid_b"))
+        ).alias("n_sem_drops"),
+    )
+    return members.join(stats, "cell", "left").select(
+        "cell",
+        "n_members",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "max_cos",
+        F.coalesce("n_sem_drops", F.lit(0)).alias("n_sem_drops"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -1867,6 +2101,10 @@ QUERIES = {
     "l29_dedup_manifest": l29_dedup_manifest,
     "l30_length_trim": l30_length_trim,
     "l31_length_trim_sketch": l31_length_trim_sketch,
+    "l32_segment_dedup": l32_segment_dedup,
+    "l33_random_projection": l33_random_projection,
+    "l34_mixture_sample": l34_mixture_sample,
+    "l35_semantic_dedup": l35_semantic_dedup,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2651,5 +2889,118 @@ ORACLE = {
         FROM documents, th
         WHERE n_chars > lo AND n_chars < hi
         GROUP BY lang
+    """,
+    "l32_segment_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ws,
+                 unnest(range(0,
+                   CAST(ceil(len(ws) / {L32_SEG_WORDS}.0) AS BIGINT)))
+                   AS seg_idx
+          FROM toks
+        ),
+        segs AS (
+          SELECT doc_id, seg_idx,
+                 array_to_string(ws[(seg_idx * {L32_SEG_WORDS} + 1):
+                   (seg_idx * {L32_SEG_WORDS} + {L32_SEG_WORDS})], ' ')
+                   AS seg
+          FROM idx
+        ),
+        flagged AS (
+          SELECT doc_id,
+                 CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_idx) > 1
+                 THEN 1 ELSE 0 END AS is_dup
+          FROM segs
+        )
+        SELECT doc_id, COUNT(*) AS n_segs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_segs,
+               ROUND(SUM(is_dup)::DOUBLE / COUNT(*), 4) AS dup_seg_frac
+        FROM flagged GROUP BY doc_id
+    """,
+    # Projection weights derived in-SQL from the same md5 formula the
+    # Spark literal matrix uses (_l33_proj) — one formula, two engines.
+    "l33_random_projection": f"""
+        WITH proj AS (
+          SELECT p.p, d.d,
+                 (CAST('0x' || substr(md5('l33proj' || p.p || '_' || d.d),
+                    1, 15) AS BIGINT) % 2001) - 1000 AS w
+          FROM (SELECT unnest(range(0, {L33_OUT_DIMS})) AS p) p,
+               (SELECT unnest(range(0, 64)) AS d) d
+        ),
+        q AS (
+          SELECT vec_id, d.d,
+                 CAST(floor(embedding[d.d + 1]::DOUBLE * 1000) AS BIGINT)
+                   AS qv
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS d) d
+        )
+        SELECT q.vec_id, CAST(proj.p AS INT) AS out_dim,
+               CAST(SUM(qv * w) AS BIGINT) AS component
+        FROM q JOIN proj ON q.d = proj.d
+        GROUP BY q.vec_id, proj.p
+    """,
+    "l34_mixture_sample": f"""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+        ),
+        rates AS (
+          SELECT lang, n_total,
+                 least(1.0, {L34_C} / sqrt(n_total)) AS rate
+          FROM counts
+        ),
+        kept AS (
+          SELECT d.doc_id, d.lang, r.n_total, r.rate
+          FROM documents d JOIN rates r USING (lang)
+          WHERE ({_duck_md5_int60("d.doc_id || '_l34'")} % 1000000)
+                  / 1000000.0 < r.rate
+        )
+        SELECT lang, CAST(MIN(n_total) AS BIGINT) AS n_total,
+               ROUND(MIN(rate), 6) AS rate,
+               COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        FROM kept GROUP BY lang
+    """,
+    "l35_semantic_dedup": f"""
+        WITH c AS ({_DUCK_COSINE_CORPUS}),
+        seeds AS (
+          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+        ),
+        assign AS (
+          SELECT vec_id, embedding, norm, seed_id AS cell FROM (
+            SELECT c.vec_id, c.embedding, c.norm, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS ar
+            FROM c, seeds
+          ) WHERE ar = 1
+        ),
+        pairs AS (
+          SELECT a.cell, b.vec_id AS vid_b,
+                 list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                   / (a.norm * b.norm) AS cos
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ),
+        members AS (
+          SELECT cell, COUNT(*) AS n_members FROM assign GROUP BY cell
+        ),
+        stats AS (
+          SELECT cell, COUNT(*) AS n_pairs,
+                 ROUND(MAX(cos), 4) AS max_cos,
+                 COUNT(DISTINCT CASE WHEN cos >= {L35_TAU}
+                   THEN vid_b END) AS n_sem_drops
+          FROM pairs GROUP BY cell
+        )
+        SELECT m.cell, m.n_members,
+               CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+               s.max_cos,
+               CAST(COALESCE(s.n_sem_drops, 0) AS BIGINT) AS n_sem_drops
+        FROM members m LEFT JOIN stats s USING (cell)
     """,
 }

@@ -137,6 +137,10 @@ _ORDER = (
     "l29_dedup_manifest",
     "l30_length_trim",
     "l31_length_trim_sketch",
+    "l32_segment_dedup",
+    "l33_random_projection",
+    "l34_mixture_sample",
+    "l35_semantic_dedup",
 )
 
 

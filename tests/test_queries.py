@@ -282,6 +282,99 @@ def test_l29_manifest_invariants(spark, sf_dir):
         assert keeps[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
 
 
+def test_l32_segment_dedup_invariants(spark, sf_dir):
+    """Exactly one copy of every distinct segment is 'first': summing
+    (n_segs - n_dup_segs) over docs must equal the corpus-wide count of
+    distinct segments, and fractions must be consistent."""
+    rows = queries()["l32_segment_dedup"](spark, sf_dir).collect()
+    assert rows
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L32_SEG_WORDS,
+        _words,
+    )
+    from etl_wlg_metlink_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    n_segs = F.ceil(F.size(_words(F.col("text"))) / F.lit(L32_SEG_WORDS)).cast(
+        "int"
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(_words(F.col("text")), i * L32_SEG_WORDS + 1, L32_SEG_WORDS),
+            " ",
+        ),
+    )
+    n_distinct = (
+        docs.select(F.explode(segs).alias("seg")).distinct().count()
+    )
+    assert sum(r["n_segs"] - r["n_dup_segs"] for r in rows) == n_distinct
+    for r in rows:
+        assert 0 <= r["n_dup_segs"] <= r["n_segs"]
+        assert abs(r["dup_seg_frac"] - r["n_dup_segs"] / r["n_segs"]) < 1e-3
+
+
+def test_l33_projection_matches_numpy(spark, sf_dir):
+    """The Catalyst fold must equal the numpy int matmul exactly (the
+    projection is all-integer by construction)."""
+    import numpy as np
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import _l33_proj
+    from etl_wlg_metlink_spark.tables import load
+
+    emb = {
+        r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1000)
+        .astype(np.int64)
+        for r in load(spark, sf_dir, "embeddings")
+        .where("vec_id < 20")
+        .collect()
+    }
+    proj = np.array(_l33_proj(), dtype=np.int64)
+    got = {
+        (r["vec_id"], r["out_dim"]): r["component"]
+        for r in queries()["l33_random_projection"](spark, sf_dir)
+        .where("vec_id < 20")
+        .collect()
+    }
+    for vid, q in emb.items():
+        want = proj @ q
+        for d in range(len(want)):
+            assert got[(vid, d)] == want[d]
+
+
+def test_l34_rates_and_determinism(spark, sf_dir):
+    rows = queries()["l34_mixture_sample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # rate ≈ 1 keeps everything (cap), and the empirical keep rate
+        # tracks the target loosely (hash-uniform sampling)
+        if r["rate"] == 1.0:
+            assert r["n_kept"] == r["n_total"]
+    again = queries()["l34_mixture_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_l35_semantic_dedup_invariants(spark, sf_dir):
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l35_semantic_dedup"](spark, sf_dir).collect()
+    assert rows
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    total_drops = 0
+    for r in rows:
+        n = r["n_members"]
+        assert r["n_pairs"] == n * (n - 1) // 2
+        assert r["n_sem_drops"] < n  # at least one representative survives
+        if r["max_cos"] is not None:
+            assert -1.0 <= r["max_cos"] <= 1.0
+        total_drops += r["n_sem_drops"]
+    assert total_drops > 0, "tau calibrated to P99 must catch some pairs"
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
