@@ -844,15 +844,20 @@ KMEANS_ITERS = 3
 def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column — the
     iterative-algorithm pattern: per iteration, broadcast the k
-    centroids (driver-side numpy, k×64 floats), assign each vector to
-    its nearest centroid with one Arrow-batched UDF pass, recompute
-    centroids with one posexplode+avg shuffle. Deterministic init
-    (vectors 0..k-1), fixed iteration count.
+    centroids (driver-side numpy, k×64 floats), then ONE fused
+    mapInPandas pass that assigns each vector to its nearest centroid
+    AND emits per-partition PARTIAL centroid sums (k rows of
+    (count, sum-vector) per partition — the map-side combine MLlib's
+    treeAggregate does). The shuffle that recomputes centroids is then
+    partitions×k rows instead of the N×64 exploded rows the naive
+    posexplode+avg update shuffles: at 100 TB that is the difference
+    between a per-iteration corpus-sized shuffle and a few kilobytes
+    per task. Deterministic init (vectors 0..k-1).
 
-    Per-iteration cluster cost = one map pass + one hash-agg shuffle;
-    the only driver-side data is the k×64 centroid matrix, so the loop
-    scales to any corpus size. Rows-only check (iterative, not
-    SQL-expressible); output is cluster sizes + within-cluster cosine
+    Per-iteration cost = one Arrow map pass + one k-row agg; the only
+    driver-side data is the k×64 centroid matrix, so the loop scales
+    to any corpus size. Rows-only check (iterative, not
+    SQL-expressible); output is cluster sizes + within-cluster
     inertia, self-describing for the judge."""
     from pyspark.sql.functions import pandas_udf
 
@@ -871,22 +876,47 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         c = centroids  # bind current value for the UDF closure
 
-        @pandas_udf("int")
-        def assign(e: pd.Series) -> pd.Series:
-            x = np.stack(e.values).astype(np.float64)
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d.argmin(axis=1).astype("int32"))
+        def partial_sums(batches):
+            cnt = np.zeros(KMEANS_K, dtype=np.int64)
+            sums = np.zeros((KMEANS_K, 64), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["embedding"].values).astype(np.float64)
+                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                cnt += np.bincount(a, minlength=KMEANS_K)
+                # scatter-add as a one-hot matmul (BLAS, no per-k loop)
+                onehot = (
+                    a[:, None] == np.arange(KMEANS_K)[None, :]
+                ).astype(np.float64)
+                sums += onehot.T @ x
+            hit = np.flatnonzero(cnt)
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "k": hit.astype("int32"),
+                        "n": cnt[hit],
+                        "s": [sums[j].tolist() for j in hit],
+                    }
+                )
 
-        assigned = emb.select("vec_id", "embedding", assign("embedding").alias("k"))
-        new_c = (
-            assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("k", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
+        partial = emb.select("embedding").mapInPandas(
+            partial_sums, "k int, n long, s array<double>"
         )
+        # Driver-side reduce of the ≤ tasks×k partial rows (each k×64
+        # floats) — the same shape MLlib's treeAggregate collects. One
+        # job per iteration, no shuffle at all; at extreme task counts
+        # (≥10⁴) insert one k-keyed groupBy level before the collect,
+        # which caps driver traffic at k×64 again.
+        cnt = np.zeros(KMEANS_K, dtype=np.int64)
+        sums = np.zeros((KMEANS_K, 64), dtype=np.float64)
+        for r in partial.collect():
+            cnt[r["k"]] += r["n"]
+            sums[r["k"]] += np.array(r["s"], dtype=np.float64)
         centroids = centroids.copy()
-        for r in new_c:
-            centroids[r["k"], r["dim"]] = r["m"]
+        for j in np.flatnonzero(cnt):
+            centroids[j] = sums[j] / cnt[j]
 
     c_final = centroids
 
