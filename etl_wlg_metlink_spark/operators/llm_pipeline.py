@@ -2057,7 +2057,12 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sequential-fold double math as l9/l17 → full DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
     corpus, seeds = _ivf_corpus_seeds(emb)
-    assign = _ivf_assign(corpus, seeds)
+    # Eager localCheckpoint: the assignment feeds BOTH sides of the
+    # cell self-join AND the membership census — without it the plan
+    # recomputes the broadcast seed-scoring pass once per consumer
+    # (three corpus passes; PLANS.md showed the doubled SMJ lineage).
+    # Checkpointed, the join reads one materialized assignment.
+    assign = _ivf_assign(corpus, seeds).localCheckpoint(eager=True)
     a = assign.select(
         "cell",
         F.col("vec_id").alias("vid_a"),
@@ -2099,6 +2104,189 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l38 probe sweep: recall@5 measured at each nprobe in one pass.
+#: The IVF twin of l12's Hamming-radius sweep — every ANN deployment
+#: tunes exactly this curve (probe cost ∝ nprobe × cell size).
+L38_NPROBES = (1, 3, 5)
+
+
+def l38_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe sweep: for each query (vec_id < 20) and
+    each nprobe in L38_NPROBES, recall@5 of the IVF search against the
+    exact brute-force top-5 (l9's ranking). One row per (query,
+    nprobe) so the probe-cost/recall trade is a readable curve.
+
+    Scale shape: the sweep costs ONE index pass, not three — the cell
+    assignment is computed once and localCheckpoint'd (it feeds the
+    candidate join AND would otherwise replan per nprobe), the probe
+    ranking is computed once up to max(nprobe), and each sweep point
+    filters `pr <= nprobe` on the SAME candidate relation before its
+    per-query top-5 window. Truth is the bounded-query brute-force
+    (broadcast 20 queries, TakeOrdered per query) — the corpus is
+    scanned once for truth and once for assignment, independent of
+    sweep length. Same sequential-fold double cosine as l9/l17 →
+    full DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus, seeds = _ivf_corpus_seeds(emb)
+    assign = _ivf_assign(corpus, seeds).localCheckpoint(eager=True)
+
+    queries_df = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # probe ranking over cells, once, up to the widest sweep point
+    qprobe_w = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("seed_id")
+    )
+    qprobe = (
+        queries_df.join(F.broadcast(seeds))
+        .withColumn(
+            "q_sim",
+            _dot(F.col("q_emb"), F.col("s_emb"))
+            / (F.col("q_norm") * F.col("s_norm")),
+        )
+        .withColumn("pr", F.row_number().over(qprobe_w))
+        .where(F.col("pr") <= max(L38_NPROBES))
+        .select("query_id", "q_emb", "q_norm", F.col("seed_id").alias("cell"), "pr")
+    )
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    cand = (
+        assign.join(
+            F.broadcast(qprobe),
+            (assign["cell"] == qprobe["cell"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "pr", sim.alias("sim"))
+    )
+    truth = _brute_topk(emb, 20, 5, include_label=False).select(
+        "query_id", "vec_id"
+    )
+    sweeps = []
+    for np_ in L38_NPROBES:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        ann = (
+            cand.where(F.col("pr") <= np_)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "vec_id")
+        )
+        # truth and hits are bounded (queries×5 and ≤queries rows) —
+        # broadcast both so no sweep point ever shuffles
+        hits = (
+            ann.join(F.broadcast(truth), ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        sweeps.append(
+            queries_df.select("query_id")
+            .join(F.broadcast(hits), "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(np_).alias("nprobe"),
+                F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+#: l36 vocabulary size: top-V corpus words play the tokenizer vocab.
+#: Real pipelines audit tokenizer fit the same way — what fraction of
+#: the corpus falls out-of-vocabulary — before committing to a
+#: tokenizer; V is small here because the synthetic vocabulary is.
+L36_VOCAB = 50
+
+
+def l36_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit / vocabulary-coverage audit: build the top-V
+    corpus vocabulary by frequency (ties broken by word, so the vocab
+    is deterministic), then measure per document how many tokens fall
+    outside it. High OOV rate predicts byte-fallback blowup in a real
+    tokenizer; the per-doc rate is a standard curation signal.
+
+    Scale shape: the vocab is bounded by construction (top-V of a
+    word-count agg — explode, partial-agg map-side, one shuffle on
+    word, TakeOrdered V) and BROADCAST back; the per-doc scoring pass
+    never shuffles the corpus — array_contains against a V-element
+    literal-free broadcast array via a collected list would poison the
+    plan, so the join is a broadcast left join on the exploded words
+    with map-side aggregation back to doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(L36_VOCAB)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    scored = words.join(F.broadcast(vocab), "w", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+#: l37 chunking geometry: W-token windows every S tokens (overlap
+#: W - S). Sliding-window chunking with overlap is how long documents
+#: become training sequences without losing cross-boundary context;
+#: the overlap tokens are the price.
+L37_CHUNK_TOKENS = 32
+L37_STRIDE = 24
+
+
+def l37_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: one output row per (doc,
+    chunk), chunks starting every L37_STRIDE tokens, L37_CHUNK_TOKENS
+    wide (the tail chunk may be short; every doc yields ≥ 1 chunk).
+    Each chunk carries its token count and content md5 — the identity
+    downstream packing (l26) and chunk-level dedup key on.
+
+    Scale shape: map-only — sequence/transform/slice build the chunk
+    list per row inside codegen and posexplode is a narrow generator;
+    there is NO shuffle anywhere in the plan. The 1:N blowup is
+    bounded by ~n_tokens/S per doc."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    n = F.size(ws)
+    n_chunks = (
+        F.floor((F.greatest(n - 1, F.lit(0))) / F.lit(L37_STRIDE)).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * L37_STRIDE).alias("chunk_start"),
+            F.slice(ws, i * L37_STRIDE + 1, L37_CHUNK_TOKENS).alias("toks"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ch")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("ch.chunk_start").alias("chunk_start"),
+        F.size("ch.toks").alias("n_chunk_tokens"),
+        F.md5(F.array_join("ch.toks", " ")).alias("chunk_md5"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2135,6 +2323,9 @@ QUERIES = {
     "l33_random_projection": l33_random_projection,
     "l34_mixture_sample": l34_mixture_sample,
     "l35_semantic_dedup": l35_semantic_dedup,
+    "l36_vocab_coverage": l36_vocab_coverage,
+    "l37_chunk_windows": l37_chunk_windows,
+    "l38_ivf_recall_sweep": l38_ivf_recall_sweep,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -3032,5 +3223,118 @@ ORACLE = {
                s.max_cos,
                CAST(COALESCE(s.n_sem_drops, 0) AS BIGINT) AS n_sem_drops
         FROM members m LEFT JOIN stats s USING (cell)
+    """,
+    "l38_ivf_recall_sweep": f"""
+        WITH c AS ({_DUCK_COSINE_CORPUS}),
+        seeds AS (
+          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+        ),
+        assign AS (
+          SELECT vec_id, embedding, norm, seed_id AS cell FROM (
+            SELECT c.vec_id, c.embedding, c.norm, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS ar
+            FROM c, seeds
+          ) WHERE ar = 1
+        ),
+        qprobe AS (
+          SELECT query_id, qe, qn, seed_id AS cell, pr FROM (
+            SELECT c.vec_id AS query_id, c.embedding AS qe, c.norm AS qn,
+                   seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS pr
+            FROM c, seeds WHERE c.vec_id < 20
+          ) WHERE pr <= {max(L38_NPROBES)}
+        ),
+        cand AS (
+          SELECT query_id, a.vec_id, q.pr,
+                 list_sum(list_transform(range(1, 65),
+                   i -> qe[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                   / (qn * a.norm) AS sim
+          FROM qprobe q JOIN assign a
+            ON a.cell = q.cell AND a.vec_id <> q.query_id
+        ),
+        truth AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id) AS rnk
+            FROM c q JOIN c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20
+          ) WHERE rnk <= 5
+        ),
+        sweep AS (
+          SELECT unnest([{", ".join(str(n) for n in L38_NPROBES)}]) AS nprobe
+        ),
+        ann AS (
+          SELECT nprobe, query_id, vec_id FROM (
+            SELECT s.nprobe, cand.query_id, cand.vec_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.nprobe, cand.query_id
+                     ORDER BY sim DESC, vec_id) AS rnk
+            FROM cand JOIN sweep s ON cand.pr <= s.nprobe
+          ) WHERE rnk <= 5
+        ),
+        hits AS (
+          SELECT nprobe, ann.query_id, COUNT(*) AS n_hits
+          FROM ann JOIN truth
+            ON ann.query_id = truth.query_id AND ann.vec_id = truth.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT q.query_id, CAST(s.nprobe AS INT) AS nprobe,
+               ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+        FROM (SELECT vec_id AS query_id FROM c WHERE vec_id < 20) q
+        CROSS JOIN sweep s
+        LEFT JOIN hits h
+          ON h.query_id = q.query_id AND h.nprobe = s.nprobe
+    """,
+    "l36_vocab_coverage": f"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, COUNT(*) AS c FROM words GROUP BY w
+          ) ORDER BY c DESC, w LIMIT {L36_VOCAB}
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS oov_rate
+        FROM words LEFT JOIN vocab ON words.w = vocab.w
+        GROUP BY doc_id
+    """,
+    "l37_chunk_windows": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ws,
+                 unnest(range(0,
+                   (greatest(len(ws) - 1, 0) // {L37_STRIDE}) + 1))
+                   AS chunk_idx
+          FROM toks
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * {L37_STRIDE} AS INT) AS chunk_start,
+               CAST(len(ws[(chunk_idx * {L37_STRIDE} + 1):
+                 (chunk_idx * {L37_STRIDE} + {L37_CHUNK_TOKENS})])
+                 AS INT) AS n_chunk_tokens,
+               md5(array_to_string(ws[(chunk_idx * {L37_STRIDE} + 1):
+                 (chunk_idx * {L37_STRIDE} + {L37_CHUNK_TOKENS})], ' '))
+                 AS chunk_md5
+        FROM idx
     """,
 }

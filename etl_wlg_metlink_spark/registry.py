@@ -141,6 +141,10 @@ _ORDER = (
     "l33_random_projection",
     "l34_mixture_sample",
     "l35_semantic_dedup",
+    "l36_vocab_coverage",
+    "l37_chunk_windows",
+    "s8_streaming_ingest_dedup",
+    "l38_ivf_recall_sweep",
 )
 
 

@@ -185,6 +185,23 @@ def s7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s8_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with cross-batch exact dedup, end-to-end
+    through the driver gate: the documents table replays as 4
+    deterministic doc_id-ordered micro-batches; each batch
+    fingerprints itself, collapses within-batch dups, anti-joins the
+    on-disk fingerprint ledger and appends only novel docs
+    (runners.corpus_ingest_dedup_run — the streaming twin of l25's
+    batch-vs-corpus dedup, with ledger state in storage rather than
+    the state store). Because the replay ascends in doc_id,
+    first-arrival == global min-doc_id per fingerprint, so the final
+    survivor set equals l5's batch window rule — the oracle."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    survivors_dir = runners.corpus_ingest_dedup_run(spark, sf_dir)
+    return spark.read.parquet(survivors_dir).select("doc_id", "source", "fp")
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
@@ -193,6 +210,7 @@ QUERIES = {
     "s5_watermark_dedup": s5_watermark_dedup,
     "s6_stream_static_join": s6_stream_static_join,
     "s7_stream_stream_join": s7_stream_stream_join,
+    "s8_streaming_ingest_dedup": s8_streaming_ingest_dedup,
 }
 
 ORACLE = {
@@ -236,6 +254,20 @@ ORACLE = {
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "s8_streaming_ingest_dedup": """
+        WITH f AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp,
+                 ROW_NUMBER() OVER (PARTITION BY
+                   md5(array_to_string(
+                     list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   ORDER BY doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source, fp FROM f WHERE rn = 1
     """,
     "s3_session_window": """
         WITH ordered AS (

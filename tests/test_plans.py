@@ -23,6 +23,7 @@ BNLJ_OK = {
     "l11_knn_label_vote",
     "l17_ivf_ann",  # N×K seed-assignment scoring against broadcast seeds
     "l35_semantic_dedup",  # same _ivf_assign broadcast seed scoring as l17
+    "l38_ivf_recall_sweep",  # bounded query×seed probe ranking + l9-style truth
     "l20_unigram_logprob",  # 1-row broadcast corpus-total joined to vocab
     "l30_length_trim",  # 1-row broadcast percentile thresholds onto the corpus
     "l31_length_trim_sketch",  # same shape, sketch-derived threshold row

@@ -375,6 +375,88 @@ def test_l35_semantic_dedup_invariants(spark, sf_dir):
     assert total_drops > 0, "tau calibrated to P99 must catch some pairs"
 
 
+def test_l36_oov_accounting(spark, sf_dir):
+    """OOV + in-vocab must partition each doc's tokens, and corpus-wide
+    in-vocab mass must equal the summed frequency of the top-V words."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L36_VOCAB, _words
+    from etl_wlg_metlink_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = queries()["l36_vocab_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-3
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(L36_VOCAB)
+        .collect()
+    )
+    vocab_mass = sum(r["count"] for r in words)
+    in_vocab_mass = sum(r["n_tokens"] - r["n_oov"] for r in rows)
+    assert in_vocab_mass == vocab_mass
+
+
+def test_l37_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunks tile every document: chunk 0 starts at 0, consecutive
+    starts differ by the stride, the tail chunk reaches the last token,
+    and full chunks are exactly W wide."""
+    from collections import defaultdict
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L37_CHUNK_TOKENS,
+        L37_STRIDE,
+    )
+
+    rows = queries()["l37_chunk_windows"](spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start"] == 0
+        for i, c in enumerate(chunks):
+            assert c["chunk_start"] == i * L37_STRIDE
+            assert 1 <= c["n_chunk_tokens"] <= L37_CHUNK_TOKENS
+        # all but the last start is a full-coverage window: every token
+        # index below the last chunk's end is inside some chunk
+        last = chunks[-1]
+        n_tokens = last["chunk_start"] + last["n_chunk_tokens"]
+        if len(chunks) > 1:
+            assert L37_STRIDE < L37_CHUNK_TOKENS  # overlap exists
+            assert chunks[-2]["chunk_start"] + L37_CHUNK_TOKENS >= last[
+                "chunk_start"
+            ]
+        assert n_tokens >= 1
+
+
+def test_l38_recall_monotone_in_nprobe(spark, sf_dir):
+    """Probing more cells can only widen the candidate set, so recall@5
+    must be non-decreasing in nprobe for every query; the widest sweep
+    point must beat the narrowest in aggregate."""
+    from collections import defaultdict
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L38_NPROBES
+
+    rows = queries()["l38_ivf_recall_sweep"](spark, sf_dir).collect()
+    assert len(rows) == 20 * len(L38_NPROBES)
+    by_q = defaultdict(dict)
+    for r in rows:
+        by_q[r["query_id"]][r["nprobe"]] = r["recall_at_5"]
+    for q, curve in by_q.items():
+        vals = [curve[n] for n in L38_NPROBES]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert vals == sorted(vals), f"recall not monotone for query {q}"
+    assert sum(c[L38_NPROBES[-1]] for c in by_q.values()) > sum(
+        c[L38_NPROBES[0]] for c in by_q.values()
+    )
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),

@@ -51,6 +51,53 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
     assert got == expected
 
 
+def test_streaming_ingest_dedup_parity_and_batching(spark, sf_dir):
+    """s8: the 4-batch streaming ingest must (a) actually replay in
+    multiple deterministic micro-batches, (b) drop cross-batch
+    duplicates via the ledger anti-join, (c) land exactly on the batch
+    min-doc_id-per-fingerprint survivor set, run after run."""
+    import os
+
+    from etl_wlg_metlink_spark.streaming import s8_streaming_ingest_dedup
+    from etl_wlg_metlink_spark.tables import load
+    from pyspark.sql import functions as F
+
+    stage = runners.staged_documents_dir(spark, sf_dir, 4)
+    parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+    assert len(parts) == 4
+    mtimes = [os.path.getmtime(os.path.join(stage, f)) for f in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+    got = {
+        (r["doc_id"], r["source"], r["fp"])
+        for r in s8_streaming_ingest_dedup(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["source"], r["fp"])
+        for r in docs.select("doc_id", "source", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
+    assert len(got) < docs.count()  # duplicates existed and were dropped
+
+    again = {
+        (r["doc_id"], r["source"], r["fp"])
+        for r in s8_streaming_ingest_dedup(spark, sf_dir).collect()
+    }
+    assert again == got
+
+
 def test_stream_stream_interval_join_parity(spark, sf_dir):
     """The stream-stream interval join must equal the batch self-join
     of the same predicate (inner join, one micro-batch replay)."""
