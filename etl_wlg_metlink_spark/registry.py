@@ -145,6 +145,7 @@ _ORDER = (
     "l37_chunk_windows",
     "s8_streaming_ingest_dedup",
     "l38_ivf_recall_sweep",
+    "l39_edit_distance_dedup",
 )
 
 

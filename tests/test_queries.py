@@ -457,6 +457,26 @@ def test_l38_recall_monotone_in_nprobe(spark, sf_dir):
     )
 
 
+def test_l39_edit_verify_agrees_with_jaccard(spark, sf_dir):
+    """The two verify signals must agree on this corpus: every
+    jaccard-verified l6 pair is also an edit-distance near-dup, and
+    l39 admits nothing the jaccard signal scores as clearly unrelated
+    (the calibration margin: admitted pairs all have jaccard ≥ 0.5)."""
+    l6 = {
+        (r["doc_i"], r["doc_j"])
+        for r in queries()["l6_minhash_near_dup"](spark, sf_dir).collect()
+    }
+    l39 = queries()["l39_edit_distance_dedup"](spark, sf_dir).collect()
+    got = {(r["doc_i"], r["doc_j"]) for r in l39}
+    assert l6 <= got, "a jaccard-verified near-dup failed the edit verify"
+    for r in l39:
+        assert r["doc_i"] < r["doc_j"]
+        assert 0 <= r["rel_edit"] <= 0.35
+        assert r["jaccard"] >= 0.5, (
+            f"edit verify admitted a jaccard-unrelated pair: {r}"
+        )
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
