@@ -38,6 +38,27 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the other columnar scan Spark ships natively; round-trip
+    the customer table and confirm predicate pushdown reaches the ORC
+    scan the same way it does for parquet."""
+    src = load(spark, sf_dir, "customer")
+    path = str(tmp_path / "customer_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    cols = ["c_custkey", "c_name", "c_nationkey"]
+    assert _sorted_rows(back.select(*cols), cols) == _sorted_rows(
+        src.select(*cols), cols
+    )
+    plan = (
+        back.where(F.col("c_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "c_nationkey" in plan
+
+
 def test_json_permissive_corrupt_record(spark, tmp_path):
     """S2's PERMISSIVE mode: malformed lines land in _corrupt_record
     instead of failing the scan (the skip-don't-crash policy,
