@@ -399,6 +399,29 @@ def r19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r20_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with a RANGE frame — value-based, not
+    row-count-based (r15's ROWS twin): per user, the sum and count of
+    events in the trailing 30 minutes of EVENT TIME. Rows sharing an
+    order value are frame peers (all included), which is the semantic
+    difference a ROWS frame can't express. Ordered on floor-epoch
+    seconds so both engines agree on frame membership exactly; one
+    shuffle on the partition key, per-key sort, same scale shape as
+    every window lane."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_30m_sum"),
+        F.count("*").over(w).alias("n_in_30m"),
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -419,9 +442,22 @@ QUERIES = {
     "r17_set_ops": r17_set_ops,
     "r18_salted_skew_join": r18_salted_skew_join,
     "r19_correlated_subquery": r19_correlated_subquery,
+    "r20_window_range_frame": r20_window_range_frame,
 }
 
 ORACLE = {
+    "r20_window_range_frame": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4)
+                 AS trailing_30m_sum,
+               COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+                 AS n_in_30m
+        FROM events
+    """,
     "r1_broadcast_dim_join": """
         SELECT r_name, COUNT(*) AS n_customers,
                ROUND(SUM(c_acctbal), 4) AS sum_acctbal

@@ -146,6 +146,7 @@ _ORDER = (
     "s8_streaming_ingest_dedup",
     "l38_ivf_recall_sweep",
     "l39_edit_distance_dedup",
+    "r20_window_range_frame",
 )
 
 
