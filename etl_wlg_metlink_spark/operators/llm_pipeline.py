@@ -2225,7 +2225,13 @@ def l39_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to fetch texts (candidates ≪ corpus; at extreme candidate
     volume this becomes a doc_id-keyed shuffle join), and the DP
     itself is a codegen'd JVM expression — no Python."""
-    cand = _minhash_verified_pairs(spark, sf_dir, threshold=0.0)
+    # materialize=True: the candidate set is checkpointed (it feeds a
+    # broadcast anyway) and the hash-array diamond cache is released
+    # rather than left pinned for the session (the dead-cache class
+    # ADVICE r4 flagged on l28).
+    cand = _minhash_verified_pairs(
+        spark, sf_dir, materialize=True, threshold=0.0
+    )
     docs = load(spark, sf_dir, "documents")
     ti = docs.select(F.col("doc_id").alias("doc_i"), F.col("text").alias("t_i"))
     tj = docs.select(F.col("doc_id").alias("doc_j"), F.col("text").alias("t_j"))
