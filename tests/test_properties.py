@@ -211,3 +211,80 @@ def test_pii_redaction_scrubs_planted_spans(spark, parts, tail):
     # every planted span is gone from the redacted text
     for _, pii in parts:
         assert pii not in redacted
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(**SETTINGS)
+def test_chunk_windows_tile_random_docs(spark, tmp_path_factory, n_words, seed):
+    """l37 on random documents: chunk starts step by the stride from 0,
+    every token index lands in >= 1 chunk, no chunk overruns the doc,
+    and chunk token counts follow min(W, n - start) exactly."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L37_CHUNK_TOKENS,
+        L37_STRIDE,
+        l37_chunk_windows,
+    )
+
+    tmp = tmp_path_factory.mktemp(f"l37_{seed}")
+    rows = [
+        (i, " ".join(f"w{seed}_{i}_{j}" for j in range(n)), "xx", "srcp", n)
+        for i, n in enumerate(n_words)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp / "documents.parquet"))
+
+    chunks = l37_chunk_windows(spark, str(tmp)).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(n_words)))
+    for doc_id, n in enumerate(n_words):
+        cs = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        covered = set()
+        for i, c in enumerate(cs):
+            assert c["chunk_start"] == i * L37_STRIDE
+            assert c["chunk_start"] < n  # no chunk starts past the doc
+            assert c["n_chunk_tokens"] == min(
+                L37_CHUNK_TOKENS, n - c["chunk_start"]
+            )
+            covered.update(
+                range(c["chunk_start"], c["chunk_start"] + c["n_chunk_tokens"])
+            )
+        assert covered == set(range(n))
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(**SETTINGS)
+def test_segment_dedup_counts_on_random_docs(spark, tmp_path_factory, n_words, seed):
+    """l32 on random all-unique documents: segment counts are exactly
+    ceil(n/W) per doc, and with globally unique words no segment can be
+    a duplicate."""
+    import math as m
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L32_SEG_WORDS,
+        l32_segment_dedup,
+    )
+
+    tmp = tmp_path_factory.mktemp(f"l32_{seed}")
+    rows = [
+        (i, " ".join(f"u{seed}_{i}_{j}" for j in range(n)), "xx", "srcp", n)
+        for i, n in enumerate(n_words)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in l32_segment_dedup(spark, str(tmp)).collect()}
+    assert set(got) == set(range(len(n_words)))
+    for doc_id, n in enumerate(n_words):
+        r = got[doc_id]
+        assert r["n_segs"] == m.ceil(n / L32_SEG_WORDS)
+        assert r["n_dup_segs"] == 0 and r["dup_seg_frac"] == 0.0
