@@ -244,10 +244,13 @@ def x12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to long (metric, value) rows via DataFrame.unpivot (SQL
     stack())."""
     li = load(spark, sf_dir, "lineitem")
+    # all three metrics in one decimal scale so unpivot's value column
+    # stays exact decimal (mixed double/decimal would coerce to double
+    # and reintroduce the sum-order knife edge — see r1/r2)
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 4).alias("qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("price"),
-        F.round(F.sum("l_discount"), 4).alias("disc"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("disc"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -405,9 +408,9 @@ ORACLE = {
     "x12_unpivot": """
         WITH wide AS (
           SELECT l_returnflag,
-                 ROUND(SUM(l_quantity), 4) AS qty,
-                 ROUND(SUM(l_extendedprice), 4) AS price,
-                 ROUND(SUM(l_discount), 4) AS disc
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
+                 SUM(CAST(l_discount AS DECIMAL(18,2))) AS disc
           FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, metric, value

@@ -64,7 +64,9 @@ def p3_zero_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+            # 2-decimal source → lossless decimal sum, order-independent
+            # at any group size (see r1/r2 for the float knife edge)
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("sum_disc"),
         )
     )
 
@@ -469,7 +471,8 @@ ORACLE = {
         WHERE props IS NOT NULL AND value IS NOT NULL
     """,
     "p3_zero_pair_filter": """
-        SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_discount), 4) AS sum_disc
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_discount AS DECIMAL(18,2))) AS sum_disc
         FROM lineitem
         WHERE NOT (l_discount = 0 AND l_tax = 0)
         GROUP BY l_returnflag

@@ -44,7 +44,14 @@ def r1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            # money accumulates in DECIMAL: the source doubles are exact
+            # 2-decimal values, so the cast is lossless and the sum is
+            # order-independent — a round(sum(double), 4) sits on a ulp
+            # knife edge once groups reach ~10^5 rows (observed on r2
+            # at sf0.1) and would differ run-to-run on a real cluster
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias(
+                "sum_acctbal"
+            ),
         )
     )
 
@@ -63,8 +70,14 @@ def r2_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # exact decimal revenue: price and discount are 2-decimal
+            # values stored as doubles; decimal arithmetic makes the
+            # 10^5-term sum order-independent (the double form differed
+            # from DuckDB by one ulp at sf0.1 — same would flicker
+            # between runs on a cluster as partitioning shifts)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
             ).alias("revenue"),
         )
     )
@@ -210,7 +223,9 @@ def r9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # decimal: the grand-total cell sums EVERY order — the largest
+        # float-sum group in the catalog; see r1 for the rationale
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
         F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
     )
 
@@ -222,8 +237,8 @@ def r10_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS sum_price
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -460,7 +475,7 @@ ORACLE = {
     """,
     "r1_broadcast_dim_join": """
         SELECT r_name, COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 4) AS sum_acctbal
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -468,7 +483,8 @@ ORACLE = {
     """,
     "r2_three_way_join": """
         SELECT c_mktsegment, COUNT(*) AS n_lines,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -525,14 +541,14 @@ ORACLE = {
     """,
     "r9_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 4) AS sum_price,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
                GROUPING(o_orderstatus, o_orderpriority) AS gid
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "r10_grouping_sets_sql": """
-        SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS sum_price
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
