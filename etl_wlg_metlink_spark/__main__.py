@@ -1,0 +1,76 @@
+"""CLI entry point — the engine's analogue of the reference's local
+dev runner (task.ts:346 `await local(new Task(...), import.meta.url)`,
+README.md:99-121 of the reference): one invocation = one scheduled run
+of the composed pipeline.
+
+    python -m etl_wlg_metlink_spark --fixture path/to/response.json
+    python -m etl_wlg_metlink_spark --live            # needs METLINK_API_KEY
+    python -m etl_wlg_metlink_spark --fixture f.json --out /tmp/features
+
+Config comes from the same env surface as the reference's Env
+(METLINK_API_KEY, SHOW_BUSES/TRAINS/SHIPS, DEBUG — config.py). With
+`--out` the features land as partitioned JSON-lines (the 100 TB sink);
+without it the FeatureCollection envelope prints to stdout (the
+reference's submit(), with stdout standing in for the CloudTAK POST).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m etl_wlg_metlink_spark")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--fixture", help="path to a GTFS-RT VehiclePositions JSON file")
+    src.add_argument(
+        "--live",
+        action="store_true",
+        help="fetch the live Metlink endpoint (METLINK_API_KEY env)",
+    )
+    ap.add_argument("--out", help="write JSON-lines features here instead of stdout")
+    ap.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
+    args = ap.parse_args(argv)
+
+    from etl_wlg_metlink_spark.config import MetlinkConfig
+    from etl_wlg_metlink_spark.pipelines import metlink
+    from etl_wlg_metlink_spark.session import build_session
+    from etl_wlg_metlink_spark.sinks import geojson
+    from etl_wlg_metlink_spark.sources import gtfs
+
+    cfg = MetlinkConfig.from_env()
+    spark = build_session(app_name="etl-wlg-metlink", master=args.master)
+
+    if args.fixture:
+        # S3 error→empty fallback (task.ts:180-188): a bad body still
+        # submits an empty FeatureCollection and exits 0, exactly like
+        # the scheduled run does on a bad live response.
+        try:
+            with open(args.fixture, encoding="utf-8") as f:
+                entities = gtfs.entities_from_json(spark, f.read(), debug=cfg.debug)
+        except Exception as e:  # noqa: BLE001
+            print(f"Error reading fixture: {e}", file=sys.stderr)
+            entities = gtfs.empty_entities(spark)
+    else:
+        entities = gtfs.fetch_entities(
+            spark, cfg.metlink_api_key, debug=cfg.debug
+        )
+
+    features = metlink.run(entities, cfg)
+    if args.out:
+        geojson.write_jsonl(features, args.out)
+        n = spark.read.text(args.out).count()
+        print(f"wrote {n} features to {args.out}", file=sys.stderr)
+    else:
+        counters: dict = {}
+        geojson.submit(
+            features, poster=lambda fc: print(json.dumps(fc)), counters=counters
+        )
+        print(f"submitted {counters.get('submitted', 0)} features", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

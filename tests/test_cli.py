@@ -1,0 +1,53 @@
+"""CLI runner (python -m etl_wlg_metlink_spark) — the reference's
+local-dev invocation path (task.ts:346) end-to-end: fixture file in,
+FeatureCollection on stdout / JSON-lines at --out."""
+
+from __future__ import annotations
+
+import json
+
+from etl_wlg_metlink_spark.__main__ import main
+from etl_wlg_metlink_spark.pipelines.gtfs_fixture import (
+    FIXTURE_ENTITIES,
+    oracle_features,
+)
+
+
+def _fixture_file(tmp_path):
+    p = tmp_path / "response.json"
+    p.write_text(json.dumps({"header": {"timestamp": 1}, "entity": FIXTURE_ENTITIES}))
+    return str(p)
+
+
+def test_cli_fixture_to_stdout_matches_oracle(spark, tmp_path, capsys):
+    rc = main(["--fixture", _fixture_file(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr()
+    fc = json.loads(out.out.strip().splitlines()[-1])
+    assert fc["type"] == "FeatureCollection"
+    expected = oracle_features(FIXTURE_ENTITIES)
+    assert [f["id"] for f in fc["features"]] == [f["id"] for f in expected]
+    assert "submitted" in out.err
+
+
+def test_cli_fixture_to_jsonl(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "features")
+    rc = main(["--fixture", _fixture_file(tmp_path), "--out", out_dir])
+    assert rc == 0
+    rows = [
+        json.loads(r["value"])
+        for r in spark.read.text(out_dir).collect()
+    ]
+    expected_ids = {f["id"] for f in oracle_features(FIXTURE_ENTITIES)}
+    assert {r["id"] for r in rows} == expected_ids
+
+
+def test_cli_bad_fixture_submits_empty_collection(spark, tmp_path, capsys):
+    """S3 error→empty fallback through the CLI: unparseable body still
+    submits an empty FeatureCollection and exits 0 (task.ts:180-188)."""
+    p = tmp_path / "broken.json"
+    p.write_text("{not json")
+    rc = main(["--fixture", str(p)])
+    assert rc == 0
+    fc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fc == {"type": "FeatureCollection", "features": []}
