@@ -2339,6 +2339,69 @@ def l37_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l40_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics panel: the corpus rollup every released
+    training set publishes — document counts, token mass, char-length
+    spread and mean whitespace-token count at (lang), (source),
+    (lang, source) and grand-total grain, in ONE pass via grouping
+    sets (Catalyst expands them inside a single hash-agg shuffle with
+    map-side partials; four separate queries would scan the corpus
+    four times). grouping_id disambiguates real NULLs from subtotal
+    rows, same as r9."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "lang", "source", "n_chars", F.size(_words(F.col("text"))).alias("n_tok")
+    )
+    with_tokens.createOrReplaceTempView("docs_card")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_tok) AS total_tokens,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               ROUND(AVG(n_tok), 4) AS avg_tokens,
+               CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid
+        FROM docs_card
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        """
+    )
+
+
+def l41_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health canary: natural
+    text has log(freq) ≈ a + s·log(rank) with s near -1; a flat slope
+    means boilerplate/dedup failure upstream, a cliff means synthetic
+    or truncated vocabulary. One word-count aggregation (map-side
+    partial), a rank window over the (vocabulary-sized, tiny) count
+    relation, then a single-row least-squares fit via the built-in
+    regr_slope/regr_intercept aggregates — no corpus re-scan, no
+    driver-side math.
+
+    The unpartitioned rank window runs over the VOCABULARY relation
+    (~log of corpus size), never the corpus — the only place the
+    engine permits a global Window.orderBy; if the vocab itself were
+    huge, rank becomes the two-phase salted form (a2/l21's shape)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("c").alias("total_tokens"),
+        F.round(
+            F.expr("regr_slope(ln(c), ln(rnk))"), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_intercept(ln(c), ln(rnk))"), 4
+        ).alias("zipf_intercept"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2379,6 +2442,8 @@ QUERIES = {
     "l37_chunk_windows": l37_chunk_windows,
     "l38_ivf_recall_sweep": l38_ivf_recall_sweep,
     "l39_edit_distance_dedup": l39_edit_distance_dedup,
+    "l40_dataset_card": l40_dataset_card,
+    "l41_zipf_fit": l41_zipf_fit,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -3276,6 +3341,36 @@ ORACLE = {
                s.max_cos,
                CAST(COALESCE(s.n_sem_drops, 0) AS BIGINT) AS n_sem_drops
         FROM members m LEFT JOIN stats s USING (cell)
+    """,
+    "l40_dataset_card": """
+        WITH d AS (
+          SELECT lang, source, n_chars,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents
+        )
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               ROUND(AVG(n_tok), 4) AS avg_tokens,
+               CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        FROM d
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    """,
+    "l41_zipf_fit": """
+        WITH counts AS (
+          SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          ) GROUP BY w
+        ),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+          FROM counts
+        )
+        SELECT COUNT(*) AS n_vocab,
+               CAST(SUM(c) AS BIGINT) AS total_tokens,
+               ROUND(regr_slope(ln(c), ln(rnk)), 4) AS zipf_slope,
+               ROUND(regr_intercept(ln(c), ln(rnk)), 4) AS zipf_intercept
+        FROM ranked
     """,
     "l39_edit_distance_dedup": f"""
         WITH {_DUCK_L6_CTES}

