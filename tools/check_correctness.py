@@ -24,6 +24,7 @@ collected Python values collide. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -130,7 +131,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = build_session(app_name="check_correctness")
+    if os.environ.get("SPARK_GRAFT_BARE"):
+        # Driver simulation: the external grader builds its own BARE
+        # SparkSession (no engine confs). Everything the catalog needs
+        # must come from ensure_engine_conf via tables.load() — this
+        # mode proves it does.
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("check_correctness_bare")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(app_name="check_correctness")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
