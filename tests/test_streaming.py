@@ -98,6 +98,46 @@ def test_streaming_ingest_dedup_parity_and_batching(spark, sf_dir):
     assert again == got
 
 
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The 100 TB streaming-state path: RocksDB state store (state
+    spills to local disk instead of living in the executor heap) must
+    be a pure CONFIG swap — same stateful dedup, same results as the
+    default HDFS-backed in-memory provider. On a real cluster this is
+    the difference between state bounded by heap and state bounded by
+    disk; the code does not change."""
+    from etl_wlg_metlink_spark.session import conf_override
+
+    stream = runners.events_stream(spark, sf_dir)
+    default_rows = set(
+        map(
+            tuple,
+            runners.run_available_now(
+                runners.dedup_within_watermark_stream(stream)
+            ).collect(),
+        )
+    )
+    with conf_override(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        },
+    ):
+        rocks_rows = set(
+            map(
+                tuple,
+                runners.run_available_now(
+                    runners.dedup_within_watermark_stream(
+                        runners.events_stream(spark, sf_dir)
+                    )
+                ).collect(),
+            )
+        )
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0
+
+
 def test_stream_stream_interval_join_parity(spark, sf_dir):
     """The stream-stream interval join must equal the batch self-join
     of the same predicate (inner join, one micro-batch replay)."""
