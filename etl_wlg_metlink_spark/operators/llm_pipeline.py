@@ -75,12 +75,10 @@ def l1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def l2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: type-token ratio, stopword ratio, mean token
-    length, length saturation — combined into one bounded score.
-    The standard cheap pre-filter in front of LLM training ingestion."""
-    docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+def _quality_parts(ws):
+    """(ttr, stop_ratio, mean_token_len, saturation) column
+    expressions — shared by l2 (scoring) and l42 (the composed
+    corpus-build filter), so the two can't drift."""
     n = F.size(ws)
     ttr = F.size(F.array_distinct(ws)) / n
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -91,7 +89,25 @@ def l2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     ) / n
     sat = F.least(n / F.lit(60.0), F.lit(1.0))
-    score = F.round(0.35 * ttr + 0.25 * (1 - stop_ratio) + 0.4 * sat, 4)
+    return ttr, stop_ratio, mean_len, sat
+
+
+def _quality_score_raw(ws):
+    """Unrounded quality score (per-row scalar double math — identical
+    IEEE op sequence in Spark and DuckDB, so threshold comparisons
+    agree exactly across engines)."""
+    ttr, stop_ratio, _, sat = _quality_parts(ws)
+    return 0.35 * ttr + 0.25 * (1 - stop_ratio) + 0.4 * sat
+
+
+def l2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, stopword ratio, mean token
+    length, length saturation — combined into one bounded score.
+    The standard cheap pre-filter in front of LLM training ingestion."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    ttr, stop_ratio, mean_len, sat = _quality_parts(ws)
+    score = F.round(_quality_score_raw(ws), 4)
     return docs.select(
         "doc_id",
         F.round(ttr, 4).alias("ttr"),
@@ -2402,6 +2418,57 @@ def l41_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l42 quality gate: corpus-calibrated (P5 ≈ 0.61, median ≈ 0.74 —
+#: the 0.65 bar drops the bottom ~20%). Real pipelines tune this on a
+#: labeled sample; the mechanism is the point here.
+L42_QUALITY_TAU = 0.65
+
+
+def l42_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed showcase: a full training-corpus build as ONE
+    Catalyst plan — near-dup dedup (l29's keep rule over the shared
+    LSH/CC lineage), quality gating (l2's exact score expression,
+    shared helper), temperature mixture resampling over the CLEANED
+    counts (l34's deterministic md5 rule, fresh salt), and the final
+    per-language audit rollup with token mass. What a user of the
+    engine actually runs nightly; every stage is an already-verified
+    lane, composed by reference not by copy.
+
+    Scale shape inherits from its parts: the drop relation broadcasts
+    (bounded by clustered docs), the quality gate is a map-side scalar
+    expression, stratum rates are a #langs-row broadcast, the keep
+    decision is a hash compare — the corpus flows through the whole
+    build with its ONLY shuffles being the tiny counts aggregation and
+    the final rollup."""
+    docs = load(spark, sf_dir, "documents")
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "lbl"
+    )
+    survivors = (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .where(F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id"))
+        .drop("lbl")
+    )
+    ws = _words(F.col("text"))
+    clean = survivors.where(_quality_score_raw(ws) >= L42_QUALITY_TAU)
+    counts = clean.groupBy("lang").agg(F.count("*").alias("n_clean"))
+    rates = counts.withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(L34_C) / F.sqrt(F.col("n_clean")))
+    )
+    u = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_l42")))
+        % 1000000
+    ) / 1000000.0
+    kept = clean.join(F.broadcast(rates), "lang").where(u < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.first("n_clean").alias("n_clean"),
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.sum(F.size(_words(F.col("text")))).alias("total_tokens"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2444,6 +2511,7 @@ QUERIES = {
     "l39_edit_distance_dedup": l39_edit_distance_dedup,
     "l40_dataset_card": l40_dataset_card,
     "l41_zipf_fit": l41_zipf_fit,
+    "l42_corpus_build": l42_corpus_build,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -3341,6 +3409,56 @@ ORACLE = {
                s.max_cos,
                CAST(COALESCE(s.n_sem_drops, 0) AS BIGINT) AS n_sem_drops
         FROM members m LEFT JOIN stats s USING (cell)
+    """,
+    "l42_corpus_build": f"""
+        WITH {_DUCK_L6_CTES},
+        pairs AS (
+          SELECT doc_i, doc_j FROM v WHERE jaccard >= 0.8
+        ),
+        sym AS (
+          SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs
+        ),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS lbl FROM sym
+        ){_DUCK_L22_ITERS},
+        survivors AS (
+          SELECT d.* FROM documents d
+          LEFT JOIN l{L22_ORACLE_ROUNDS} l ON l.node = d.doc_id
+          WHERE COALESCE(l.lbl, d.doc_id) = d.doc_id
+        ),
+        scored AS (
+          SELECT s.*, string_split(s.text, ' ') AS ws FROM survivors s
+        ),
+        clean AS (
+          SELECT doc_id, lang, len(ws) AS n_tok FROM scored
+          WHERE 0.35 * (len(list_distinct(ws))::DOUBLE / len(ws))
+              + 0.25 * (1 - len(list_filter(ws, w -> w IN ({_STOP_SQL})))::DOUBLE
+                            / len(ws))
+              + 0.4 * least(len(ws) / 60.0, 1.0)
+              >= {L42_QUALITY_TAU}
+        ),
+        counts AS (
+          SELECT lang, COUNT(*) AS n_clean FROM clean GROUP BY lang
+        ),
+        rates AS (
+          SELECT lang, n_clean,
+                 least(1.0, {L34_C} / sqrt(n_clean)) AS rate
+          FROM counts
+        ),
+        kept AS (
+          SELECT c.doc_id, c.lang, c.n_tok, r.n_clean, r.rate
+          FROM clean c JOIN rates r USING (lang)
+          WHERE ({_duck_md5_int60("c.doc_id || '_l42'")} % 1000000)
+                  / 1000000.0 < r.rate
+        )
+        SELECT lang, CAST(MIN(n_clean) AS BIGINT) AS n_clean,
+               ROUND(MIN(rate), 6) AS rate,
+               COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY lang
     """,
     "l40_dataset_card": """
         WITH d AS (

@@ -149,6 +149,7 @@ _ORDER = (
     "r20_window_range_frame",
     "l40_dataset_card",
     "l41_zipf_fit",
+    "l42_corpus_build",
 )
 
 

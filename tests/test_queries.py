@@ -507,6 +507,26 @@ def test_l41_zipf_sanity(spark, sf_dir):
     assert r["zipf_intercept"] > 0
 
 
+def test_l42_composes_its_stage_lanes(spark, sf_dir):
+    """The composed corpus build must agree with its component lanes:
+    every kept doc is an l29 'keep', stage counts only shrink
+    (survivors ≥ clean ≥ kept per lang), and the run is deterministic."""
+    rows = queries()["l42_corpus_build"](spark, sf_dir).collect()
+    assert rows
+    keeps = {
+        r["doc_id"]
+        for r in queries()["l29_dedup_manifest"](spark, sf_dir).collect()
+        if r["verdict"] == "keep"
+    }
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_clean"]
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["total_tokens"] > 0
+    assert sum(r["n_clean"] for r in rows) <= len(keeps)
+    again = queries()["l42_corpus_build"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
