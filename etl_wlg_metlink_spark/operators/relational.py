@@ -437,6 +437,50 @@ def r20_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: r21 matched-filter pattern, oldest→newest coefficient order. A
+#: down-up-down "spike" template; integer coefficients keep every
+#: product one IEEE rounding on both engines so scores are
+#: bit-identical without tolerance.
+R21_PATTERN = (-1, -2, 3, 4, 3, -2, -1, 1)
+
+
+def r21_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity as a matched filter: per
+    user, slide an 8-step template over the event-value series (ordered
+    by event time) and score each position by the dot product of the
+    template with the trailing 8 values; return the global top-20
+    matches. The streaming-data similarity-search shape (find where a
+    known pattern occurs in a value stream) expressed entirely in
+    window lag() expressions — no UDF, no self-join.
+
+    Scale shape: one shuffle on user_id + per-key sort (every window
+    lane's cost), the dot product is 8 lag terms fused into one
+    codegen'd projection, and the global top-20 is
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    Positions with fewer than 8 predecessors are excluded (no partial
+    windows)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", i).over(w) for i in range(len(R21_PATTERN))]
+    # lag(0) is the row itself; coefficient k applies to lag (K-1-k) so
+    # the pattern reads oldest→newest across the trailing window
+    score = sum(
+        lags[len(R21_PATTERN) - 1 - k] * F.lit(p)
+        for k, p in enumerate(R21_PATTERN)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        score.alias("score"),
+        lags[len(R21_PATTERN) - 1].alias("oldest"),
+    ).where(F.col("oldest").isNotNull() & F.col("score").isNotNull())
+    return (
+        scored.select("user_id", "event_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "event_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -458,9 +502,38 @@ QUERIES = {
     "r18_salted_skew_join": r18_salted_skew_join,
     "r19_correlated_subquery": r19_correlated_subquery,
     "r20_window_range_frame": r20_window_range_frame,
+    "r21_pattern_match": r21_pattern_match,
 }
 
+_R21_LAGS = ",\n".join(
+    f"                 LAG(value, {i}) OVER "
+    f"(PARTITION BY user_id ORDER BY ts, event_id) AS l{i}"
+    for i in range(len(R21_PATTERN))
+)
+#: same left-associative addition order as the Spark expression — the
+#: IEEE op sequences match, so scores are bit-identical
+_R21_SCORE = " + ".join(
+    f"(l{len(R21_PATTERN) - 1 - k} * {p})" for k, p in enumerate(R21_PATTERN)
+)
+
 ORACLE = {
+    "r21_pattern_match": f"""
+        WITH lagged AS (
+          SELECT user_id, event_id,
+{_R21_LAGS}
+          FROM events
+        ),
+        scored AS (
+          SELECT user_id, event_id,
+                 {_R21_SCORE} AS raw_score,
+                 l{len(R21_PATTERN) - 1} AS oldest
+          FROM lagged
+        )
+        SELECT user_id, event_id, ROUND(raw_score, 4) AS score
+        FROM scored
+        WHERE oldest IS NOT NULL AND raw_score IS NOT NULL
+        ORDER BY score DESC, event_id LIMIT 20
+    """,
     "r20_window_range_frame": """
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (

@@ -150,6 +150,7 @@ _ORDER = (
     "l40_dataset_card",
     "l41_zipf_fit",
     "l42_corpus_build",
+    "r21_pattern_match",
 )
 
 
