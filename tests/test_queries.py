@@ -527,6 +527,47 @@ def test_l42_composes_its_stage_lanes(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_r21_finds_planted_pattern(spark, tmp_path):
+    """A value series containing one exact copy of the template must
+    score that position highest (matched filter peaks at alignment),
+    and users with fewer than 8 events must contribute no rows."""
+    import datetime as dt
+
+    from etl_wlg_metlink_spark.operators.relational import (
+        R21_PATTERN,
+        r21_pattern_match,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: flat noise, then the template itself, then flat noise
+    series = [0.5] * 6 + [float(p) for p in R21_PATTERN] + [0.5] * 6
+    for i, v in enumerate(series):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 1, "click", v, None))
+        eid += 1
+    # the event at the END of the planted window (oldest→newest match)
+    expect_eid = 6 + len(R21_PATTERN) - 1
+    # user 2: only 5 events — below the window, must not appear
+    for i in range(5):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 2, "click", 9.9, None))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    got = r21_pattern_match(spark, str(tmp_path)).collect()
+    assert got, "no matches returned"
+    assert all(r["user_id"] == 1 for r in got)
+    top = got[0]
+    assert top["event_id"] == expect_eid
+    # perfect alignment scores the template's self-dot-product
+    assert top["score"] == float(sum(p * p for p in R21_PATTERN))
+
+
 def test_r7_asof_tie_break_deterministic(spark, tmp_path):
     """Two clicks sharing (user_id, ts) must resolve to the MAX click_id
     (VERDICT r3: the old window ordered only by (ts, side, purchase_id),
