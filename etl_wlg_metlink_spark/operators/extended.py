@@ -298,6 +298,32 @@ def x14_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x15_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer joins its own top-2 orders by price — the "per-row
+    subquery" surface (ANSI lateral derived table). Catalyst
+    decorrelates this into a window rank over one orders shuffle, NOT
+    a per-customer probe loop, which is exactly the rewrite you want
+    at 100 TB: cost is one shuffle of orders on custkey + a rank
+    filter, independent of customer count. Customers with no orders
+    drop out (inner lateral semantics — ≈ 1/3 of TPC-H customers)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_x15")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_x15")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, l.o_orderkey,
+               CAST(l.o_totalprice AS DECIMAL(18,2)) AS o_price
+        FROM cust_x15 c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_x15
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) l
+        """
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -313,9 +339,21 @@ QUERIES = {
     "x12_unpivot": x12_unpivot,
     "x13_variant_json": x13_variant_json,
     "x14_try_functions": x14_try_functions,
+    "x15_lateral_topk": x15_lateral_topk,
 }
 
 ORACLE = {
+    "x15_lateral_topk": """
+        SELECT c.c_custkey, c.c_name, l.o_orderkey,
+               CAST(l.o_totalprice AS DECIMAL(18,2)) AS o_price
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) l
+    """,
     "x1_percentiles": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

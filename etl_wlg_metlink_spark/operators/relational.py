@@ -481,6 +481,57 @@ def r21_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: r22 sparsity threshold: leaves exactly one empty month at both
+#: sf0.001 and sf0.01 (79 of 80 populated), so the gap-fill is
+#: observable in the checked result, not a no-op left join.
+R22_BIG_ORDER = 430_000
+
+
+def r22_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) building a month
+    calendar spine from the orders date range, then gap-filling a
+    sparse monthly aggregate (orders above R22_BIG_ORDER) with zero
+    rows — the classic time-series densification every reporting
+    pipeline needs and pre-4.0 Spark could not express in SQL. The
+    reference's scheduled poll is itself a time spine (task.ts:122);
+    this is that idea as a query.
+
+    Scale shape: the recursion materializes one row per month (bounded
+    by the date span — thousands of rows at most, driver-safe by
+    construction), the sparse aggregate is one hash-agg shuffle on
+    month, and the spine side of the final join is broadcast-size by
+    nature. Money sums accumulate in DECIMAL(18,2), not float. The
+    recursion stop bound rides along as a carried column (mx) — a
+    scalar subquery in the recursive member re-plans the orders
+    aggregate EVERY iteration (measured 21s vs 1s for the 80-month
+    span; at depth d that's d full table scans)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_r22")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                 date_trunc('MONTH', MAX(o_orderdate))
+          FROM orders_r22
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, mx FROM spine WHERE m < mx
+        ),
+        months AS (SELECT m FROM spine),
+        big AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+          FROM orders_r22
+          WHERE o_totalprice > {R22_BIG_ORDER}
+          GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS ym,
+               COALESCE(big.n, 0) AS n_big,
+               CAST(COALESCE(big.s, 0) AS DECIMAL(18,2)) AS sum_price
+        FROM months LEFT JOIN big ON big.m = months.m
+        """
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -503,6 +554,7 @@ QUERIES = {
     "r19_correlated_subquery": r19_correlated_subquery,
     "r20_window_range_frame": r20_window_range_frame,
     "r21_pattern_match": r21_pattern_match,
+    "r22_recursive_cte": r22_recursive_cte,
 }
 
 _R21_LAGS = ",\n".join(
@@ -517,6 +569,26 @@ _R21_SCORE = " + ".join(
 )
 
 ORACLE = {
+    "r22_recursive_cte": f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        ),
+        big AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+          FROM orders
+          WHERE o_totalprice > {R22_BIG_ORDER}
+          GROUP BY 1
+        )
+        SELECT strftime(months.m, '%Y-%m') AS ym,
+               CAST(COALESCE(big.n, 0) AS BIGINT) AS n_big,
+               CAST(COALESCE(big.s, 0) AS DECIMAL(18,2)) AS sum_price
+        FROM months LEFT JOIN big ON big.m = months.m
+    """,
     "r21_pattern_match": f"""
         WITH lagged AS (
           SELECT user_id, event_id,

@@ -151,6 +151,8 @@ _ORDER = (
     "l41_zipf_fit",
     "l42_corpus_build",
     "r21_pattern_match",
+    "r22_recursive_cte",
+    "x15_lateral_topk",
 )
 
 

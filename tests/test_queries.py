@@ -607,3 +607,50 @@ def test_r7_asof_tie_break_deterministic(spark, tmp_path):
             for r in r7_asof_join(spark, str(tmp_path)).collect()
         }
         assert again == got
+
+
+def test_r22_spine_dense_and_gapfilled(spark, sf_dir):
+    """The recursive spine must be month-contiguous over the full
+    orders date range, and the sparsity threshold (R22_BIG_ORDER) is
+    tuned so at least one month has NO qualifying orders — proving the
+    left-join gap-fill emits the zero row instead of dropping it."""
+    from etl_wlg_metlink_spark.operators.relational import r22_recursive_cte
+
+    rows = r22_recursive_cte(spark, sf_dir).collect()
+    yms = sorted(r["ym"] for r in rows)
+    assert len(yms) == len(set(yms))
+    # contiguity: every month between min and max appears exactly once
+    y0, m0 = map(int, yms[0].split("-"))
+    y1, m1 = map(int, yms[-1].split("-"))
+    assert len(yms) == (y1 - y0) * 12 + (m1 - m0) + 1
+    zero = [r for r in rows if r["n_big"] == 0]
+    assert zero, "threshold left no empty month — gap-fill untestable"
+    for r in zero:
+        assert float(r["sum_price"]) == 0.0
+
+
+def test_x15_lateral_is_per_customer_topk(spark, sf_dir):
+    """Lateral top-2 must agree with the window-rank formulation and
+    never emit more than 2 rows per customer (inner-lateral: customers
+    with zero orders are absent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.extended import x15_lateral_topk
+    from etl_wlg_metlink_spark.tables import load
+
+    got = x15_lateral_topk(spark, sf_dir)
+    counts = got.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    expect = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey")
+    )
+    assert {(r[0], r[1]) for r in got.select("c_custkey", "o_orderkey").collect()} == {
+        (r[0], r[1]) for r in expect.collect()
+    }
