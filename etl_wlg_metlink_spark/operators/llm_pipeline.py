@@ -2469,6 +2469,106 @@ def l42_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l43 window width in whitespace tokens. Lee et al. 2021
+#: ("Deduplicating Training Data Makes Language Models Better") use
+#: 50-BPE-token spans over a suffix array; the Spark-idiomatic
+#: re-expression is fingerprinted fixed-width token windows (every
+#: position, NOT distinct — a span repeated inside one doc still
+#: counts), which needs no global suffix sort. 8 keeps windows sparse
+#: enough on the short synthetic docs to exercise both branches.
+L43_W = 8
+
+
+def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup audit: fingerprint every L43_W-token
+    window of every document, mark windows whose fingerprint occurs in
+    >= 2 distinct documents, and report the per-document duplicated
+    span share — the signal substring-dedup pipelines cut on (a doc
+    that is 80% duplicated spans is boilerplate even when no WHOLE doc
+    matches, which is exactly what document-level l5/l6 cannot see).
+    Docs shorter than L43_W tokens have no windows and drop out.
+
+    Scale shape: windows explode map-side (~n_tokens rows per doc, the
+    same lineage cost every shingle lane pays); fp -> distinct-doc
+    count is one hash-agg shuffle with map-side partials; the
+    dup-mark rejoin is fp-keyed (AQE handles hot boilerplate fps via
+    skew split); the per-doc rollup is one more shuffle on doc_id. No
+    suffix array, no global sort, nothing driver-side."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(ws) - (L43_W - 1))
+    wins = (
+        docs.where(F.size(ws) >= L43_W)
+        .select(
+            "doc_id",
+            F.explode(F.transform(idx, _shingle_fn(ws, L43_W))).alias("win"),
+        )
+        .select("doc_id", _md5_int60(F.col("win")).alias("fp"))
+    )
+    fp_docs = wins.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    marked = wins.join(
+        fp_docs.where(F.col("n_docs") >= 2).select("fp").withColumn(
+            "is_dup", F.lit(1)
+        ),
+        "fp",
+        "left",
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 4).alias("dup_share"),
+        )
+    )
+
+
+#: l44 split fractions: cumulative cut points on the unit interval.
+L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
+
+
+def l44_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split: each doc lands in a
+    split by hashing its id onto the unit interval and comparing to
+    fixed cut points; reports per-(split, source) doc counts, token
+    totals and an id checksum. The load-bearing property at scale is
+    that the assignment is a PURE FUNCTION of the row: Spark's rand()
+    re-draws on task retry or stage re-execution, so a rand()-based
+    split can leak the same document into train AND test across two
+    runs (or even two attempts of one run); the md5 assignment is
+    stable across retries, re-partitioning, backfills and engines.
+
+    Scale shape: map-only hash + one hash-agg shuffle on the (split,
+    source) grain — bounded output (3 x n_sources rows)."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_l44")))
+        % 1000000
+    ) / 1000000.0
+    split = F.when(u < L44_CUTS[0][1], L44_CUTS[0][0]).when(
+        u < L44_CUTS[1][1], L44_CUTS[1][0]
+    ).otherwise("test")
+    return (
+        docs.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_words(F.col("text")))).cast("long").alias(
+                "total_tokens"
+            ),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2512,6 +2612,8 @@ QUERIES = {
     "l40_dataset_card": l40_dataset_card,
     "l41_zipf_fit": l41_zipf_fit,
     "l42_corpus_build": l42_corpus_build,
+    "l43_substring_dedup": l43_substring_dedup,
+    "l44_hash_split": l44_hash_split,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2644,7 +2746,51 @@ _L21_RATE_SQL = " ".join(
     f"WHEN '{lg}' THEN {r}" for lg, r in L21_RATES.items()
 )
 
+_L43_WIN_SQL = " || ' ' || ".join(f"ws[i+{o}]" for o in range(L43_W))
+
 ORACLE = {
+    "l43_substring_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws) - {L43_W - 2})) AS i
+          FROM toks WHERE len(ws) >= {L43_W}
+        ),
+        wins AS (
+          SELECT doc_id, {_duck_md5_int60(_L43_WIN_SQL)} AS fp FROM pos
+        ),
+        fpd AS (
+          SELECT fp, count(DISTINCT doc_id) AS nd FROM wins GROUP BY fp
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup,
+               ROUND(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 4) AS dup_share
+        FROM wins w JOIN fpd f USING (fp)
+        GROUP BY w.doc_id
+    """,
+    "l44_hash_split": f"""
+        SELECT CASE
+                 WHEN u < {L44_CUTS[0][1]} THEN '{L44_CUTS[0][0]}'
+                 WHEN u < {L44_CUTS[1][1]} THEN '{L44_CUTS[1][0]}'
+                 ELSE 'test'
+               END AS split,
+               source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM (
+          SELECT *,
+                 ({_duck_md5_int60("doc_id::VARCHAR || '_l44'")} % 1000000)
+                   / 1000000.0 AS u
+          FROM documents
+        )
+        GROUP BY 1, 2
+    """,
     "l1_token_stats": r"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,

@@ -153,6 +153,8 @@ _ORDER = (
     "r21_pattern_match",
     "r22_recursive_cte",
     "x15_lateral_topk",
+    "l43_substring_dedup",
+    "l44_hash_split",
 )
 
 

@@ -654,3 +654,52 @@ def test_x15_lateral_is_per_customer_topk(spark, sf_dir):
     assert {(r[0], r[1]) for r in got.select("c_custkey", "o_orderkey").collect()} == {
         (r[0], r[1]) for r in expect.collect()
     }
+
+
+def test_l43_marks_planted_duplicate_span(spark, tmp_path):
+    """Two docs sharing a long boilerplate span must have every window
+    inside the span marked duplicated; a doc with no shared span must
+    report zero duplicated windows."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L43_W,
+        l43_substring_dedup,
+    )
+
+    span = " ".join(f"boiler{i}" for i in range(L43_W + 2))  # 3 windows
+    rows = [
+        (1, span + " uniqueA1 uniqueA2", "en", "web", 0),
+        (2, "uniqueB1 uniqueB2 " + span, "en", "web", 0),
+        (3, " ".join(f"solo{i}" for i in range(L43_W + 4)), "en", "web", 0),
+        (4, "too short", "en", "web", 0),  # < W tokens: no windows
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in l43_substring_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no windows
+    # the shared span contributes 3 duplicated windows to each carrier
+    assert got[1]["n_dup"] >= 3 and got[2]["n_dup"] >= 3
+    assert got[3]["n_dup"] == 0 and got[3]["dup_share"] == 0.0
+    for r in got.values():
+        assert 0 <= r["n_dup"] <= r["n_windows"]
+
+
+def test_l44_split_deterministic_and_complete(spark, sf_dir):
+    """Hash split must partition the corpus exactly (no doc lost or
+    double-counted), keep split shares near the cut points, and be
+    bit-stable across re-runs (the retry-safety property rand() lacks)."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import l44_hash_split
+    from etl_wlg_metlink_spark.tables import load
+
+    out = l44_hash_split(spark, sf_dir)
+    rows = out.collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    n_total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    train = sum(r["n_docs"] for r in rows if r["split"] == "train")
+    assert 0.80 <= train / n_total <= 0.97
+    again = sorted(map(tuple, l44_hash_split(spark, sf_dir).collect()))
+    assert again == sorted(map(tuple, rows))
