@@ -155,6 +155,7 @@ _ORDER = (
     "x15_lateral_topk",
     "l43_substring_dedup",
     "l44_hash_split",
+    "s9_stream_left_outer_join",
 )
 
 

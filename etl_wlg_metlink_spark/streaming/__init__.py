@@ -202,6 +202,26 @@ def s8_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors_dir).select("doc_id", "source", "fp")
 
 
+def s9_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the driver gate
+    (runners.stream_stream_left_outer_join): matched click→purchase
+    pairs plus null-extended rows for non-converting clicks old enough
+    that the watermark proves no match can arrive. The oracle encodes
+    the emission horizon: an unmatched click appears iff
+    click_ts + 30min < min(max click ts, max purchase ts) — the
+    availableNow-final global watermark at 0s delay."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    return _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
+            runners.stream_stream_left_outer_join(stream)
+        ),
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
@@ -211,6 +231,7 @@ QUERIES = {
     "s6_stream_static_join": s6_stream_static_join,
     "s7_stream_stream_join": s7_stream_stream_join,
     "s8_streaming_ingest_dedup": s8_streaming_ingest_dedup,
+    "s9_stream_left_outer_join": s9_stream_left_outer_join,
 }
 
 ORACLE = {
@@ -244,6 +265,36 @@ ORACLE = {
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events LEFT JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
+    """,
+    "s9_stream_left_outer_join": """
+        WITH c AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+          SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+        )
+        SELECT c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               ROUND(p.value, 4) AS purchase_value
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               NULL AS purchase_ts,
+               NULL::DOUBLE AS purchase_value
+        FROM c, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+              )
+          AND c.ts + INTERVAL 30 MINUTE < wm.w
     """,
     "s7_stream_stream_join": """
         SELECT c.user_id,

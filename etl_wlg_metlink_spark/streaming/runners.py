@@ -156,6 +156,52 @@ def stream_stream_interval_join(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_left_outer_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution including
+    the non-converting clicks: like stream_stream_interval_join, but a
+    click with no purchase within 30 minutes must still come out, as a
+    null-extended row. The semantics under test: Spark can only emit
+    the null row once the watermark proves no future purchase can
+    match (click_ts + 30min < min of both sides' watermarks), so
+    unmatched clicks newer than that horizon are WITHHELD at
+    availableNow stop — the no-data final micro-batch evicts and
+    emits everything older. Watermark delay is 0 seconds so the
+    withheld tail is exactly the last 30 minutes of the stream; the
+    oracle reproduces the horizon rule in SQL.
+
+    Scale shape: identical to the inner variant (state bounded by the
+    interval + delay), plus the outer side's eviction is what turns
+    state-store entries into output instead of silent drops."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 #: staged multi-file replays of documents.parquet, cached per
 #: (sf_dir, n_batches) — repeated calls (driver gate, bench warm+timed,
 #: tests) must not re-stage or leak temp dirs.

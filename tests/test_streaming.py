@@ -634,3 +634,50 @@ def test_metlink_poll_live_http_stream(spark):
     assert len(by_poll[1]) == len(snap2["entity"])
     assert Handler.n_calls >= 2, "each micro-batch must be one real GET"
     assert set(Handler.api_keys) == {"k1"}, "x-api-key header must be sent"
+
+
+def test_s9_left_outer_emits_expired_nulls_withholds_recent(spark, tmp_path):
+    """Planted attribution scenario for the left-outer interval join:
+    an old non-converting click must surface as a null-extended row,
+    while an unmatched click inside the 30-minute emission horizon of
+    the final watermark must be withheld (its match could still arrive
+    in a live run)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.streaming import runners
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(eid, minutes, user, etype, value=None):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, value, None)
+
+    rows = [
+        ev(1, 0, 1, "click"),            # converts (purchase at +10)
+        ev(2, 10, 1, "purchase", 5.0),
+        ev(3, 20, 2, "click"),           # never converts, old -> null row
+        ev(4, 170, 3, "click"),          # unmatched, inside horizon -> withheld
+        # watermark anchors: max click 170, max purchase 180 -> wm 170;
+        # click 4 has 170+30 > 170, click 3 has 20+30 < 170
+        ev(5, 180, 9, "purchase", 1.0),
+    ]
+    # single parquet FILE (not a Spark directory): the file-stream
+    # source watches a symlink of the path itself, like the testdata
+    pdf = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).toPandas()
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = runners.run_available_now(
+        runners.stream_stream_left_outer_join(
+            runners.events_stream(spark, str(tmp_path))
+        )
+    ).collect()
+    got = {(r["user_id"], r["purchase_ts"] is None) for r in out}
+    assert (1, False) in got, "converting click must emit the matched pair"
+    assert (2, True) in got, "expired unmatched click must emit a null row"
+    assert all(u != 3 for u, _ in got), "in-horizon unmatched click must be withheld"
+    assert len(out) == 2
