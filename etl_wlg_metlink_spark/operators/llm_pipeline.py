@@ -2569,6 +2569,91 @@ def l44_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L45_ITERS = 3
+L45_DAMP = 0.85  # damping d; teleport mass is the explicit literal below
+#: teleport term (1-d) as its OWN literal: computing 1-0.85 in Python
+#: yields 0.15000000000000002 while DuckDB's decimal arithmetic yields
+#: exactly 0.15 — a last-ulp drift that survives into ROUND(rank, 6).
+#: One shared literal on both engines keeps the IEEE op streams equal.
+L45_TELEPORT = 0.15
+
+
+def _pagerank(pairs: DataFrame, n_iters: int = L45_ITERS) -> DataFrame:
+    """(node, deg, rank) PageRank over an undirected (doc_i, doc_j)
+    pair relation: symmetrize, uniform-init over the participating
+    nodes, then n_iters rounds of
+    rank = teleport/N + d * sum(neighbor rank / neighbor degree).
+    Symmetric graphs have no dangling nodes, so total rank mass stays
+    1 (tested). Per-round localCheckpoint truncates the iterative
+    lineage exactly as _min_label_propagation does.
+
+    Scale shape per round: one shuffle join of edges with ranks on src
+    + one hash-agg shuffle on dst — linear in edges, state on the
+    driver is only the node COUNT scalar. Rank sums accumulate in
+    double; neighbor sets here are LSH-bounded (near-dup graphs are
+    sparse), so aggregation-order float drift stays below the
+    ROUND(6) fence."""
+    pairs = pairs.select("doc_i", "doc_j")
+    sym = pairs.select(
+        F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst"))
+    )
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"), "deg", F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            sym.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("in_rank"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"), "deg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(L45_TELEPORT) / n
+                    + F.lit(L45_DAMP)
+                    * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def l45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality over the near-dup graph: PageRank on l6's
+    verified MinHash pairs. High-rank docs are template/boilerplate
+    hubs (near-dup of MANY others) — a quality signal cluster size
+    alone misses: a hub bridging two clusters outranks a member of one
+    big clique. Fixed L45_ITERS iterations so the DuckDB oracle can
+    unroll the same three rounds; the iteration helper (_pagerank) is
+    convergence-agnostic and unit-tested on a planted star graph."""
+    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    ranks = _pagerank(pairs)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2614,6 +2699,7 @@ QUERIES = {
     "l42_corpus_build": l42_corpus_build,
     "l43_substring_dedup": l43_substring_dedup,
     "l44_hash_split": l44_hash_split,
+    "l45_pagerank": l45_pagerank,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2748,6 +2834,24 @@ _L21_RATE_SQL = " ".join(
 
 _L43_WIN_SQL = " || ' ' || ".join(f"ws[i+{o}]" for o in range(L43_W))
 
+#: unrolled PageRank rounds for the l45 oracle — same update rule,
+#: same literals, same double math as _pagerank's loop
+_DUCK_L45_ITERS = "".join(
+    f""",
+        r{i + 1} AS (
+          SELECT d.src AS node, d.deg,
+                 {L45_TELEPORT} / (SELECT n FROM nn)
+                 + {L45_DAMP} * COALESCE(c.in_rank, 0) AS rank
+          FROM deg d
+          LEFT JOIN (
+            SELECT e.dst, SUM(r.rank / r.deg) AS in_rank
+            FROM sym e JOIN r{i} r ON e.src = r.node
+            GROUP BY e.dst
+          ) c ON c.dst = d.src
+        )"""
+    for i in range(L45_ITERS)
+)
+
 ORACLE = {
     "l43_substring_dedup": f"""
         WITH toks AS (
@@ -2790,6 +2894,27 @@ ORACLE = {
           FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "l45_pagerank": f"""
+        WITH {_DUCK_L6_CTES},
+        pairs AS (
+          SELECT doc_i, doc_j FROM v WHERE jaccard >= 0.8
+        ),
+        sym AS (
+          SELECT doc_i AS src, doc_j AS dst FROM pairs
+          UNION ALL
+          SELECT doc_j AS src, doc_i AS dst FROM pairs
+        ),
+        deg AS (
+          SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+        r0 AS (
+          SELECT src AS node, deg, 1.0 / (SELECT n FROM nn) AS rank
+          FROM deg
+        ){_DUCK_L45_ITERS}
+        SELECT node AS doc_id, deg, ROUND(rank, 6) AS rank
+        FROM r{L45_ITERS}
     """,
     "l1_token_stats": r"""
         SELECT doc_id,

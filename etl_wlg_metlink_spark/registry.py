@@ -156,6 +156,7 @@ _ORDER = (
     "l43_substring_dedup",
     "l44_hash_split",
     "s9_stream_left_outer_join",
+    "l45_pagerank",
 )
 
 

@@ -703,3 +703,21 @@ def test_l44_split_deterministic_and_complete(spark, sf_dir):
     assert 0.80 <= train / n_total <= 0.97
     again = sorted(map(tuple, l44_hash_split(spark, sf_dir).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_l45_pagerank_star_graph(spark):
+    """On a planted star (center 1 — leaves 2,3,4), the center must
+    outrank every leaf, leaves must tie, and total rank mass must stay
+    1 (symmetric graph: no dangling-node leakage)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import _pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_i bigint, doc_j bigint"
+    )
+    rows = {r["node"]: r for r in _pagerank(pairs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["deg"] == 3
+    leaf_ranks = {rows[k]["rank"] for k in (2, 3, 4)}
+    assert len(leaf_ranks) == 1, "leaves must tie"
+    assert rows[1]["rank"] > leaf_ranks.pop()
+    assert abs(sum(r["rank"] for r in rows.values()) - 1.0) < 1e-9
