@@ -2654,6 +2654,62 @@ def l45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l46 rule thresholds, placed inside the synthetic corpus's observed
+#: spread (token count 16-94, ttr 0.31-0.80, stop 0-0.125, mean_len
+#: 4.17-4.84 at the 5th/95th pct) so every rule fires on a real
+#: minority and both verdicts appear. Every metric is a ratio of
+#: integers computed with one double division — the same IEEE op on
+#: both engines — so threshold comparisons can't straddle.
+L46_RULES = (
+    ("short", 1),      # n_tokens < 20
+    ("low_ttr", 2),    # type-token ratio < 0.35
+    ("no_stop", 4),    # stopword ratio < 0.01
+    ("mean_len", 8),   # mean token length outside [4.25, 4.85]
+)
+
+
+def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite filter rule-card: every document gets
+    a bitmask of which quality rules it failed, the failure count, and
+    a keep/drop verdict — the auditable form of corpus filtering
+    (pipelines need WHY a doc dropped, not just that it did; per-rule
+    bits let you measure each rule's kill rate and their overlap
+    before committing to a cut).
+
+    Scale shape: map-only — four rule bits from one token-array pass
+    per doc, no shuffle at all; at 100 TB this is a pure scan lane
+    that AQE never touches."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    ttr, stop_ratio, mean_len, _ = _quality_parts(ws)
+    n = F.size(ws)
+    bits = {
+        "short": n < 20,
+        "low_ttr": ttr < 0.35,
+        "no_stop": stop_ratio < 0.01,
+        "mean_len": (mean_len < 4.25) | (mean_len > 4.85),
+    }
+    mask = sum(
+        (F.when(bits[name], bit).otherwise(0) for name, bit in L46_RULES),
+        F.lit(0),
+    )
+    flags = [bits[name].alias(f"r_{name}") for name, _ in L46_RULES]
+    return docs.select(
+        "doc_id",
+        "lang",
+        *flags,
+        mask.cast("int").alias("fail_mask"),
+        sum(
+            (F.when(bits[name], 1).otherwise(0) for name, _ in L46_RULES),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("n_failed"),
+    ).withColumn(
+        "verdict", F.when(F.col("fail_mask") == 0, "keep").otherwise("drop")
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2700,6 +2756,7 @@ QUERIES = {
     "l43_substring_dedup": l43_substring_dedup,
     "l44_hash_split": l44_hash_split,
     "l45_pagerank": l45_pagerank,
+    "l46_quality_rulecard": l46_quality_rulecard,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2894,6 +2951,41 @@ ORACLE = {
           FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "l46_quality_rulecard": f"""
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ), m AS (
+          SELECT doc_id, lang,
+                 len(ws) AS n,
+                 len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
+                 len(list_filter(ws, w -> w IN ({_STOP_SQL})))::DOUBLE
+                   / len(ws) AS stop_ratio,
+                 list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                   / len(ws) AS mean_len
+          FROM t
+        ), b AS (
+          SELECT doc_id, lang,
+                 n < 20 AS r_short,
+                 ttr < 0.35 AS r_low_ttr,
+                 stop_ratio < 0.01 AS r_no_stop,
+                 (mean_len < 4.25 OR mean_len > 4.85) AS r_mean_len
+          FROM m
+        )
+        SELECT doc_id, lang, r_short, r_low_ttr, r_no_stop, r_mean_len,
+               CAST(CASE WHEN r_short THEN 1 ELSE 0 END
+                  + CASE WHEN r_low_ttr THEN 2 ELSE 0 END
+                  + CASE WHEN r_no_stop THEN 4 ELSE 0 END
+                  + CASE WHEN r_mean_len THEN 8 ELSE 0 END AS INTEGER)
+                 AS fail_mask,
+               CAST(CASE WHEN r_short THEN 1 ELSE 0 END
+                  + CASE WHEN r_low_ttr THEN 1 ELSE 0 END
+                  + CASE WHEN r_no_stop THEN 1 ELSE 0 END
+                  + CASE WHEN r_mean_len THEN 1 ELSE 0 END AS INTEGER)
+                 AS n_failed,
+               CASE WHEN NOT (r_short OR r_low_ttr OR r_no_stop OR r_mean_len)
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM b
     """,
     "l45_pagerank": f"""
         WITH {_DUCK_L6_CTES},

@@ -157,6 +157,7 @@ _ORDER = (
     "l44_hash_split",
     "s9_stream_left_outer_join",
     "l45_pagerank",
+    "l46_quality_rulecard",
 )
 
 

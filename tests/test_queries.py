@@ -721,3 +721,27 @@ def test_l45_pagerank_star_graph(spark):
     assert len(leaf_ranks) == 1, "leaves must tie"
     assert rows[1]["rank"] > leaf_ranks.pop()
     assert abs(sum(r["rank"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_l46_rulecard_consistency(spark, sf_dir):
+    """fail_mask must encode exactly the fired rule bits, n_failed the
+    popcount, verdict keep iff mask==0 — and every rule must fire on a
+    nonzero minority of the corpus (thresholds sit inside the observed
+    metric spread, else the rule-card is dead weight)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L46_RULES,
+        l46_quality_rulecard,
+    )
+
+    rows = l46_quality_rulecard(spark, sf_dir).collect()
+    fired = dict.fromkeys([n for n, _ in L46_RULES], 0)
+    for r in rows:
+        mask = sum(bit for name, bit in L46_RULES if r[f"r_{name}"])
+        assert r["fail_mask"] == mask
+        assert r["n_failed"] == bin(mask).count("1")
+        assert r["verdict"] == ("keep" if mask == 0 else "drop")
+        for name, _ in L46_RULES:
+            fired[name] += bool(r[f"r_{name}"])
+    assert all(0 < v < len(rows) for v in fired.values()), fired
+    assert any(r["verdict"] == "keep" for r in rows)
+    assert any(r["verdict"] == "drop" for r in rows)
