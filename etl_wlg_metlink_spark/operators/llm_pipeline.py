@@ -2250,7 +2250,13 @@ def l39_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents")
     ti = docs.select(F.col("doc_id").alias("doc_i"), F.col("text").alias("t_i"))
-    tj = docs.select(F.col("doc_id").alias("doc_j"), F.col("text").alias("t_j"))
+    # the O(len²) DP runs in the stage that carries tj's partitioning;
+    # the single-row-group test file would otherwise pin every DP to
+    # one core (same tiny-input/compute-dense pathology as the shingle
+    # stage in _minhash_verified_pairs — measured 3.7s -> ~1.5s here)
+    tj = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("doc_j"), F.col("text").alias("t_j")
+    )
     ed = F.levenshtein("t_i", "t_j")
     rel = ed / F.greatest(F.length("t_i"), F.length("t_j"))
     with_ti = ti.join(F.broadcast(cand), "doc_i")  # candidate-sized
@@ -2495,6 +2501,9 @@ def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew split); the per-doc rollup is one more shuffle on doc_id. No
     suffix array, no global sort, nothing driver-side."""
     docs = load(spark, sf_dir, "documents")
+    # window construction + one md5 per position is compute-dense on a
+    # tiny single-row-group input: spread it (see _minhash_verified_pairs)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ws = _words(F.col("text"))
     idx = F.sequence(F.lit(1), F.size(ws) - (L43_W - 1))
     wins = (

@@ -532,6 +532,67 @@ def r22_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r23_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window pack: ntile quartiles, percent_rank
+    and cume_dist over customer account balance within each nation —
+    the remaining ANSI rank family r13/r14 don't cover. Quartile
+    bucketing by ntile is how balanced stratification is usually
+    written; percent_rank/cume_dist are the plan-side form of an
+    empirical CDF.
+
+    Scale shape: one shuffle on the nation key + per-key sort, same as
+    every partitioned window lane; no global ordering anywhere."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def r24_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped composite: segment-filtered customers ⨝ orders
+    ⨝ lineitem, revenue per open order, top-10 — the classic
+    multi-join analytics query a reference user would actually run,
+    exercising filter pushdown on all three scans, join reordering,
+    decimal-exact money aggregation and bounded top-k in one plan.
+
+    Scale shape: both joins are key-equi shuffles Catalyst/AQE plans
+    (customer is NOT hint-broadcast — at 100 TB the segment filter
+    still leaves a fifth of a huge table; AQE may still pick BHJ at
+    small SF, which is exactly the adaptivity wanted). Filters reach
+    the parquet scans; the top-10 is TakeOrderedAndProject with
+    deterministic tie-breaks; revenue accumulates in DECIMAL (the
+    float-sum order trap r1/r2 document)."""
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        # keep the EXACT scale-4 product sum: casting down to scale 2
+        # rounds HALF_UP in Spark but HALF_EVEN in DuckDB - a one-cent
+        # disagreement on any .xx5 sum (hit 3 times in the first 10 rows)
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -555,6 +616,8 @@ QUERIES = {
     "r20_window_range_frame": r20_window_range_frame,
     "r21_pattern_match": r21_pattern_match,
     "r22_recursive_cte": r22_recursive_cte,
+    "r23_rank_distribution": r23_rank_distribution,
+    "r24_shipping_priority": r24_shipping_priority,
 }
 
 _R21_LAGS = ",\n".join(
@@ -569,6 +632,32 @@ _R21_SCORE = " + ".join(
 )
 
 ORACLE = {
+    "r24_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(18,4)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "r23_rank_distribution": """
+        SELECT c_custkey, c_nationkey,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+    """,
     "r22_recursive_cte": f"""
         WITH RECURSIVE months(m) AS (
           SELECT date_trunc('month', MIN(o_orderdate)) FROM orders

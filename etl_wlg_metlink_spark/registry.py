@@ -158,6 +158,8 @@ _ORDER = (
     "s9_stream_left_outer_join",
     "l45_pagerank",
     "l46_quality_rulecard",
+    "r23_rank_distribution",
+    "r24_shipping_priority",
 )
 
 
