@@ -593,6 +593,158 @@ def r24_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec2(name: str):
+    """Source doubles are exact 2-decimal money values — the cast is
+    lossless and makes every downstream sum order-independent (the
+    float-sum trap r1 documents)."""
+    return F.col(name).cast("decimal(18,2)")
+
+
+def r25_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one full lineitem scan, eight
+    aggregates per (returnflag, linestatus) — THE canonical scan-agg
+    workload (the reference has no analytic agg at all; its only
+    aggregation is the last-wins Map, task.ts:323-338).
+
+    Scale shape: the most scan-bound query in the catalog — map-side
+    partial aggregation collapses each input partition to ≤ a handful
+    of (flag, status) groups before the (tiny) shuffle, so at 100 TB
+    the cost is exactly one pass over lineitem with the shipdate
+    filter and 7-column pruning pushed to parquet. All money sums
+    accumulate in DECIMAL (exact, order-independent); the averages are
+    one IEEE double division each at the very end, identical in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    # ext*(1-disc) is exact at 4 decimals (2+2), the dec(18,4) rebase
+    # is lossless and keeps the 3-factor charge product inside
+    # precision 38 (dec(18,2)³ would overflow and trigger Spark's
+    # lossy precision-loss rescale, which DuckDB does differently)
+    disc_price = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (F.lit(1) + _dec2("l_tax"))
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.round(
+                F.sum(_dec2("l_quantity")).cast("double") / n, 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec2("l_extendedprice")).cast("double") / n, 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec2("l_discount")).cast("double") / n, 6
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def r26_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: 6-way join (customer ⨝
+    orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region) with the
+    same-nation constraint c_nationkey = s_nationkey — the query whose
+    whole point is JOIN ORDER: naively joining lineitem⨝supplier
+    before restricting to ASIA customers does the big shuffle twice.
+
+    Scale shape: nation⨝region collapse to a ≤25-row broadcast dim
+    pinned with F.broadcast (never trust the size estimator on a cold
+    1000-executor cluster); customer is pre-filtered to one region via
+    that broadcast BEFORE touching orders, so the expensive
+    orders⨝lineitem shuffle join carries only ~1/5 of customers.
+    supplier is deliberately NOT hint-broadcast — it grows with SF
+    (10M rows at 100 TB); AQE picks BHJ at small SF on its own and
+    switches to shuffle join when it stops fitting."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    nr = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        nr, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+#: Q18 qualifying threshold: sum(l_quantity) per order is ~180 at the
+#: 90th pct / 262 at the 99th on the synthetic data, so 250 keeps a
+#: real but small qualifying set at every test SF.
+R27_MIN_QTY = 250
+
+
+def r27_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, joined back to customer —
+    the group-HAVING-then-semi-join pattern (aggregate first, join the
+    small survivor set).
+
+    Scale shape: the l_orderkey aggregation is the dominant cost — a
+    near-unique key, but map-side partial agg still collapses the ~4
+    lines per order before the shuffle, and the HAVING filter then
+    drops ~99% of groups. The tiny survivor set drives the joins to
+    orders and customer; no hint — at small SF AQE broadcasts the
+    survivors, at 100 TB (where top-1%-of-orders is millions of rows)
+    it degrades gracefully to a key shuffle instead of OOMing a fixed
+    broadcast. Top-100 is TakeOrderedAndProject with deterministic
+    tie-breaks, never a global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .where(F.col("sum_qty") > R27_MIN_QTY)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dec2("o_totalprice").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -618,6 +770,9 @@ QUERIES = {
     "r22_recursive_cte": r22_recursive_cte,
     "r23_rank_distribution": r23_rank_distribution,
     "r24_shipping_priority": r24_shipping_priority,
+    "r25_pricing_summary": r25_pricing_summary,
+    "r26_local_supplier_volume": r26_local_supplier_volume,
+    "r27_large_volume_customer": r27_large_volume_customer,
 }
 
 _R21_LAGS = ",\n".join(
@@ -632,6 +787,71 @@ _R21_SCORE = " + ".join(
 )
 
 ORACLE = {
+    "r25_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4))
+                        * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                    AS DECIMAL(18,6)) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*), 4) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "r26_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "r27_large_volume_customer": f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS sum_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum_qty > {R27_MIN_QTY}
+        )
+        SELECT c_name, c_custkey, l_orderkey AS o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
     "r24_shipping_priority": """
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

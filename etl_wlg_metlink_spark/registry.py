@@ -160,6 +160,9 @@ _ORDER = (
     "l46_quality_rulecard",
     "r23_rank_distribution",
     "r24_shipping_priority",
+    "r25_pricing_summary",
+    "r26_local_supplier_volume",
+    "r27_large_volume_customer",
 )
 
 
