@@ -2719,6 +2719,144 @@ def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A word-3-gram is "boilerplate" when it appears in at least this many
+#: distinct documents (synthetic corpus: df p50=1, p90=3, p99=4 — so 3
+#: flags a real ~14% minority of shingles and produces a spread of
+#: per-doc coverage fractions).
+L47_MIN_DOCS = 3
+
+
+def l47_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage audit: the fraction of each document's
+    distinct word-3-grams that are corpus-common (appear in ≥
+    L47_MIN_DOCS docs) — the C4/RefinedWeb "remove template text"
+    signal at n-gram granularity (the corpus has no line structure, so
+    the line-frequency variant degenerates to this).
+
+    Scale shape: one explode of the shared distinct-shingle lineage →
+    shingle-keyed count(DISTINCT handled by the upstream distinct)
+    with map-side partial agg, then the document-frequency relation
+    joins back to the SAME exploded lineage on the shingle key — a
+    co-partitioned shuffle join (both sides arrive hashed by shingle,
+    AQE reuses the exchange), never a broadcast: at 100 TB the common
+    set grows with the corpus and a fixed broadcast would OOM. Final
+    rollup back to doc_id is the second and last shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    ex = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("g")
+    )
+    df_rel = ex.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        ex.join(df_rel, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= L47_MIN_DOCS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_shingles"), 4).alias(
+                "boiler_frac"
+            ),
+            (F.col("n_common") * 2 > F.col("n_shingles")).alias(
+                "is_boilerplate"
+            ),
+        )
+    )
+
+
+def l48_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies, weighted by word frequency — the
+    merge-candidate table a byte-pair-encoder derives each round.
+
+    Scale shape: the corpus→vocab collapse happens FIRST (word-keyed
+    groupBy with map-side partial agg — the only shuffle that scales
+    with data volume; web-scale corpora collapse ~10^12 tokens to
+    ~10^7 distinct words), then pairs are generated per DISTINCT word
+    and re-aggregated over a key space bounded by charset² — that
+    second shuffle is constant-size regardless of corpus scale. This
+    ordering (aggregate-then-explode) is the whole design; exploding
+    pairs per token instance would shuffle the corpus itself."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+def l49_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the near-dup graph: per-document triangle
+    membership + local clustering coefficient on l6's verified
+    MinHash pairs. Distinguishes clique-like duplicate families
+    (templates copied wholesale — high clustering) from chain/star
+    shapes (incremental edits / hub boilerplate — low clustering)
+    that l22's component size and l45's PageRank each conflate.
+
+    Scale shape: the canonical distributed triangle enumeration — the
+    edge list is oriented doc_i < doc_j by construction, so the
+    two-hop join (a,b)⨝(b,c) followed by the closing-edge equi-join on
+    (a,c) counts each triangle exactly once with two node-keyed
+    shuffles of the (bounded, already-deduped) pair relation; no
+    orientation step, no 6× overcount, never all-pairs. The pair set
+    is localCheckpoint'd once (materialize=True) and feeds all three
+    join roles from the same cached rows."""
+    edges = _minhash_verified_pairs(spark, sf_dir, materialize=True).select(
+        "doc_i", "doc_j"
+    )
+    e1 = edges.select(F.col("doc_i").alias("a"), F.col("doc_j").alias("b"))
+    e2 = edges.select(F.col("doc_i").alias("b"), F.col("doc_j").alias("c"))
+    e3 = edges.select(F.col("doc_i").alias("a"), F.col("doc_j").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_i").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_j").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.join(per_node, "doc_id", "left").select(
+        "doc_id",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering"),
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2766,6 +2904,9 @@ QUERIES = {
     "l44_hash_split": l44_hash_split,
     "l45_pagerank": l45_pagerank,
     "l46_quality_rulecard": l46_quality_rulecard,
+    "l47_boilerplate_ngrams": l47_boilerplate_ngrams,
+    "l48_bpe_pair_counts": l48_bpe_pair_counts,
+    "l49_graph_triangles": l49_graph_triangles,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2995,6 +3136,68 @@ ORACLE = {
                CASE WHEN NOT (r_short OR r_low_ttr OR r_no_stop OR r_mean_len)
                     THEN 'keep' ELSE 'drop' END AS verdict
         FROM b
+    """,
+    "l47_boilerplate_ngrams": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        dfr AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g)
+        SELECT ex.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df >= {L47_MIN_DOCS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common,
+               ROUND(SUM(CASE WHEN df >= {L47_MIN_DOCS} THEN 1 ELSE 0 END)
+                     ::DOUBLE / COUNT(*), 4) AS boiler_frac,
+               SUM(CASE WHEN df >= {L47_MIN_DOCS} THEN 1 ELSE 0 END) * 2
+                 > COUNT(*) AS is_boilerplate
+        FROM ex JOIN dfr USING (g)
+        GROUP BY ex.doc_id
+    """,
+    "l48_bpe_pair_counts": """
+        WITH vocab AS (
+          SELECT word, COUNT(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word
+        ),
+        p AS (
+          SELECT unnest(list_transform(range(1, length(word)),
+                   i -> substr(word, i, 2))) AS pair,
+                 n
+          FROM vocab WHERE length(word) >= 2
+        )
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT 20
+    """,
+    "l49_graph_triangles": f"""
+        WITH {_DUCK_L6_CTES},
+        pairs AS (
+          SELECT doc_i, doc_j FROM v WHERE jaccard >= 0.8
+        ),
+        tri AS (
+          SELECT e1.doc_i AS a, e1.doc_j AS b, e2.doc_j AS c
+          FROM pairs e1
+          JOIN pairs e2 ON e1.doc_j = e2.doc_i
+          JOIN pairs e3 ON e3.doc_i = e1.doc_i AND e3.doc_j = e2.doc_j
+        ),
+        pn AS (
+          SELECT node AS doc_id, COUNT(*) AS n_triangles
+          FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+          GROUP BY node
+        ),
+        deg AS (
+          SELECT node AS doc_id, COUNT(*) AS deg
+          FROM (SELECT doc_i AS node FROM pairs
+                UNION ALL SELECT doc_j FROM pairs)
+          GROUP BY node
+        )
+        SELECT deg.doc_id, deg.deg,
+               CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+               ROUND(CASE WHEN deg >= 2
+                     THEN COALESCE(n_triangles, 0) * 2.0 / (deg * (deg - 1))
+                     ELSE 0.0 END, 6) AS clustering
+        FROM deg LEFT JOIN pn USING (doc_id)
     """,
     "l45_pagerank": f"""
         WITH {_DUCK_L6_CTES},

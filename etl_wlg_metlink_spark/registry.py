@@ -163,6 +163,9 @@ _ORDER = (
     "r25_pricing_summary",
     "r26_local_supplier_volume",
     "r27_large_volume_customer",
+    "l47_boilerplate_ngrams",
+    "l48_bpe_pair_counts",
+    "l49_graph_triangles",
 )
 
 

@@ -745,3 +745,59 @@ def test_l46_rulecard_consistency(spark, sf_dir):
     assert all(0 < v < len(rows) for v in fired.values()), fired
     assert any(r["verdict"] == "keep" for r in rows)
     assert any(r["verdict"] == "drop" for r in rows)
+
+
+def test_l47_boilerplate_invariants(spark, sf_dir):
+    """Coverage fraction is n_common/n_shingles in [0,1]; the flag is
+    the majority rule on those counts; the threshold must flag a real
+    minority (not 0%, not 100%) or the lane is dead weight."""
+    rows = queries()["l47_boilerplate_ngrams"](spark, sf_dir).collect()
+    assert rows
+    n_flagged = 0
+    for r in rows:
+        assert 1 <= r["n_common"] <= r["n_shingles"] or r["n_common"] == 0
+        # tolerance, not round(): Python rounds half-even, Spark half-up
+        assert abs(r["boiler_frac"] - r["n_common"] / r["n_shingles"]) < 5.1e-5
+        assert r["is_boilerplate"] == (r["n_common"] * 2 > r["n_shingles"])
+        n_flagged += r["is_boilerplate"]
+    assert 0 < n_flagged < len(rows)
+
+
+def test_l48_bpe_pairs_invariants(spark, sf_dir):
+    """Every merge candidate is exactly 2 chars, counts are positive
+    and non-increasing in rank order, and the top pair really is a
+    substring of some corpus word."""
+    rows = queries()["l48_bpe_pair_counts"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 and r["pair_count"] > 0 for r in rows)
+    docs = queries()["l1_token_stats"](spark, sf_dir)  # touch nothing; use raw load
+    from etl_wlg_metlink_spark.tables import load
+
+    text = " ".join(
+        t["text"] for t in load(spark, sf_dir, "documents").select("text").head(50)
+    )
+    assert rows[0]["pair"] in text
+
+
+def test_l49_triangles_vs_l22_clusters(spark, sf_dir):
+    """Triangle membership implies degree ≥ 2; clustering is bounded
+    by 1; every triangle node must sit in some l22 duplicate cluster
+    of size ≥ 3 (a triangle IS a 3-clique, and CC components contain
+    their cliques)."""
+    rows = queries()["l49_graph_triangles"](spark, sf_dir).collect()
+    assert rows, "near-dup graph is non-empty at this SF"
+    tri_nodes = [r["doc_id"] for r in rows if r["n_triangles"] > 0]
+    for r in rows:
+        assert r["deg"] >= 1
+        assert 0.0 <= r["clustering"] <= 1.0
+        if r["n_triangles"] > 0:
+            assert r["deg"] >= 2
+    manifest = queries()["l29_dedup_manifest"](spark, sf_dir).collect()
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in manifest}
+    from collections import Counter
+
+    sizes = Counter(cluster_of.values())
+    for n in tri_nodes:
+        assert sizes[cluster_of[n]] >= 3
