@@ -166,6 +166,7 @@ _ORDER = (
     "l47_boilerplate_ngrams",
     "l48_bpe_pair_counts",
     "l49_graph_triangles",
+    "s10_capped_sessions",
 )
 
 

@@ -222,6 +222,38 @@ def s9_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s10_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom capped sessionization through the driver gate: sessions
+    close on a 30-minute gap OR at SESSION_CAP events — semantics
+    Spark's native session_window cannot express, implemented as an
+    applyInPandasWithState operator (runners.capped_sessions_stream).
+    The single-file availableNow replay is one micro-batch, so each
+    session is emitted exactly once; the oracle is the closed-form
+    batch equivalent (gaps-and-islands, then positional cap split
+    within each island — cap splitting is positional, which is what
+    makes these custom semantics SQL-checkable at all)."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stream = runners.events_stream(spark, sf_dir)
+    result = _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(
+            runners.capped_sessions_stream(stream), output_mode="update"
+        ),
+    )
+    return result.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_value",
+        "closed",
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
@@ -232,9 +264,60 @@ QUERIES = {
     "s7_stream_stream_join": s7_stream_stream_join,
     "s8_streaming_ingest_dedup": s8_streaming_ingest_dedup,
     "s9_stream_left_outer_join": s9_stream_left_outer_join,
+    "s10_capped_sessions": s10_capped_sessions,
 }
 
+
+def _s10_oracle() -> str:
+    from etl_wlg_metlink_spark.streaming.runners import (
+        SESSION_CAP,
+        SESSION_GAP_SECONDS,
+    )
+
+    return f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w
+                         >= INTERVAL {SESSION_GAP_SECONDS} SECOND
+                 THEN 1 ELSE 0 END AS ng
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        isl AS (
+          SELECT *, SUM(ng) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+          FROM g
+        ),
+        pos AS (
+          SELECT *, (ROW_NUMBER() OVER (PARTITION BY user_id, island
+                                        ORDER BY ts, event_id) - 1)
+                    // {SESSION_CAP} AS sub_idx
+          FROM isl
+        ),
+        sess AS (
+          SELECT user_id, island, sub_idx,
+                 MIN(ts) AS session_start, COUNT(*) AS n_events,
+                 ROUND(COALESCE(SUM(value), 0), 4) AS sum_value
+          FROM pos GROUP BY 1, 2, 3
+        )
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY island, sub_idx) - 1
+                 AS session_seq,
+               strftime(session_start, '%Y-%m-%d %H:%M:%S')
+                 AS session_start,
+               n_events, sum_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY island DESC, sub_idx DESC) > 1
+                 AS closed
+        FROM sess
+    """
+
+
 ORACLE = {
+    "s10_capped_sessions": _s10_oracle(),
     "s1_tumbling_window": """
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
                         '%Y-%m-%d %H:%M:%S') AS window_start,

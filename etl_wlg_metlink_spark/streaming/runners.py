@@ -543,6 +543,91 @@ def track_ttl_transform_with_state(
     )
 
 
+#: s10 capped-sessionization knobs: 30-min inactivity gap (same as the
+#: native session_window lane s3) and a 2-event hard cap — the corpus'
+#: gap-sessions run 1-3 events (p99 = 2), so cap 2 splits the real
+#: 3-event tail while leaving the majority intact.
+SESSION_GAP_SECONDS = 1800
+SESSION_CAP = 2
+
+
+def capped_sessions_stream(events: DataFrame) -> DataFrame:
+    """Custom sessionization Spark's built-in ``session_window`` cannot
+    express: a session closes on a 30-minute inactivity gap OR when it
+    reaches SESSION_CAP events (bounded-session semantics — the cap
+    keeps a runaway hot key from accumulating an unbounded session, the
+    same reason training pipelines cap sequence lengths). Implemented
+    as applyInPandasWithState keyed by user_id: state carries only the
+    OPEN session's (start, last, count, sum) — per-key state is O(1)
+    regardless of stream length, the 100 TB requirement.
+
+    Emits every session (closed ones plus the trailing still-open one,
+    flagged via ``closed``) each time the key appears in a batch;
+    update-mode consumers take the last emission per (user, seq). A
+    session only closes when the NEXT event arrives (gap or cap
+    overflow), so the chronologically last session of a key is always
+    open — which is exactly what the batch oracle encodes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            seq, start_us, last_us, n, total = state.get
+        else:
+            seq, start_us, last_us, n, total = 0, -1, -1, 0, 0.0
+        out = []
+
+        def close_open():
+            nonlocal seq, start_us, last_us, n, total
+            out.append((seq, start_us, n, total, True))
+            seq, start_us, last_us, n, total = seq + 1, -1, -1, 0, 0.0
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            vals = pdf["value"].fillna(0.0)
+            for t, v in zip(ts_us, vals):
+                if n > 0 and (t - last_us >= gap_us or n >= SESSION_CAP):
+                    close_open()
+                if n == 0:
+                    start_us = int(t)
+                last_us = int(t)
+                n += 1
+                total += float(v)
+        if n > 0:
+            out.append((seq, start_us, n, total, False))
+        state.update((seq, int(start_us), int(last_us), int(n), float(total)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_seq": [o[0] for o in out],
+                    "session_start": [
+                        pd.Timestamp(o[1], unit="us") for o in out
+                    ],
+                    "n_events": [o[2] for o in out],
+                    "sum_value": [round(o[3], 4) for o in out],
+                    "closed": [o[4] for o in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_seq long, session_start timestamp, "
+            "n_events long, sum_value double, closed boolean"
+        ),
+        stateStructType=(
+            "seq long, start_us long, last_us long, n long, total double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def metlink_envelope_stream(
     spark: SparkSession,
     input_dir: str,

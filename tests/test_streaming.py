@@ -681,3 +681,75 @@ def test_s9_left_outer_emits_expired_nulls_withholds_recent(spark, tmp_path):
     assert (2, True) in got, "expired unmatched click must emit a null row"
     assert all(u != 3 for u, _ in got), "in-horizon unmatched click must be withheld"
     assert len(out) == 2
+
+
+def test_capped_sessions_cross_batch_and_cap_split(spark, tmp_path):
+    """Planted-case semantics for the capped sessionizer: cap overflow
+    opens a new session, a 30-min gap opens a new session, state
+    carries the OPEN session across a micro-batch boundary, and only
+    the trailing session stays open. Batch files are split by time
+    (the landing-directory contract), so arrival order is event order."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, value)
+
+    # batch 0: cap-2 session [e1,e2], overflow opens [e3] (still open
+    # at the boundary); batch 1: e4 continues within gap -> closes
+    # [e3,e4] at cap when e5 arrives after the 30-min gap -> [e5] open.
+    batch0 = [ev(1, 0, 1.0), ev(2, 10, 2.0), ev(3, 12, 3.0)]
+    batch1 = [ev(4, 20, 4.0), ev(5, 60, 5.0)]
+    cols = ["event_id", "ts", "user_id", "value"]
+    replay = str(tmp_path / "replay")
+    import os
+    import time
+
+    seen: set[str] = set()
+    for i, batch in enumerate([batch0, batch1]):
+        spark.createDataFrame(batch, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+        # distinct mtimes on each batch's NEW files only => the file
+        # source picks them up in written order
+        for f in os.listdir(replay):
+            if f not in seen:
+                seen.add(f)
+                t = time.time() + i * 10
+                os.utime(os.path.join(replay, f), (t, t))
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    result = runners.run_available_now(
+        runners.capped_sessions_stream(stream),
+        query_name="capped_sessions",
+        output_mode="update",
+    )
+    # last emission per (user, seq) = final verdict for that session
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("n_events").desc(), F.col("closed").desc()
+    )
+    final = (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .orderBy("session_seq")
+        .collect()
+    )
+    got = [
+        (r["session_seq"], r["n_events"], r["sum_value"], r["closed"])
+        for r in final
+    ]
+    assert got == [
+        (0, 2, 3.0, True),   # e1+e2: closed by cap overflow at e3
+        (1, 2, 7.0, True),   # e3+e4 across the batch boundary; closed at e5
+        (2, 1, 5.0, False),  # e5: trailing session stays open
+    ]
