@@ -2545,6 +2545,22 @@ def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
 
 
+def _hash_split_col(doc_id_col):
+    """l44's deterministic split assignment as a reusable column
+    expression — a PURE function of doc_id (see l44's docstring for
+    why rand() splits are broken at scale). Shared by l44 (split
+    census) and l50 (leakage audit) so the two can't drift."""
+    u = (
+        _md5_int60(F.concat(doc_id_col.cast("string"), F.lit("_l44")))
+        % 1000000
+    ) / 1000000.0
+    return (
+        F.when(u < L44_CUTS[0][1], L44_CUTS[0][0])
+        .when(u < L44_CUTS[1][1], L44_CUTS[1][0])
+        .otherwise("test")
+    )
+
+
 def l44_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test corpus split: each doc lands in a
     split by hashing its id onto the unit interval and comparing to
@@ -2559,13 +2575,7 @@ def l44_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only hash + one hash-agg shuffle on the (split,
     source) grain — bounded output (3 x n_sources rows)."""
     docs = load(spark, sf_dir, "documents")
-    u = (
-        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_l44")))
-        % 1000000
-    ) / 1000000.0
-    split = F.when(u < L44_CUTS[0][1], L44_CUTS[0][0]).when(
-        u < L44_CUTS[1][1], L44_CUTS[1][0]
-    ).otherwise("test")
+    split = _hash_split_col(F.col("doc_id"))
     return (
         docs.groupBy(split.alias("split"), "source")
         .agg(
@@ -2857,6 +2867,38 @@ def l49_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l50_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: the near-dup pair matrix crossed
+    with l44's split assignment — the check every eval pipeline owes
+    its benchmarks (a test doc with a train near-dup inflates eval;
+    dedup BEFORE splitting, then prove it with exactly this query).
+    Off-diagonal cells (split_a ≠ split_b) are leaks.
+
+    Scale shape: the split is a pure md5 function of doc_id
+    (_hash_split_col), so both endpoints' splits are computed INLINE
+    on the pair relation — zero joins against the corpus, no shuffle
+    beyond the 3×3-bounded final rollup. This is the payoff of
+    deterministic hash splits: any audit that crosses pair data with
+    a rand()-assigned split would need the materialized assignment
+    table joined in twice."""
+    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    si = _hash_split_col(F.col("doc_i"))
+    sj = _hash_split_col(F.col("doc_j"))
+    return (
+        pairs.select(
+            F.least(si, sj).alias("split_a"),
+            F.greatest(si, sj).alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
 QUERIES = {
     "l1_token_stats": l1_token_stats,
     "l2_quality_score": l2_quality_score,
@@ -2907,6 +2949,7 @@ QUERIES = {
     "l47_boilerplate_ngrams": l47_boilerplate_ngrams,
     "l48_bpe_pair_counts": l48_bpe_pair_counts,
     "l49_graph_triangles": l49_graph_triangles,
+    "l50_split_leakage": l50_split_leakage,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -3198,6 +3241,32 @@ ORACLE = {
                      THEN COALESCE(n_triangles, 0) * 2.0 / (deg * (deg - 1))
                      ELSE 0.0 END, 6) AS clustering
         FROM deg LEFT JOIN pn USING (doc_id)
+    """,
+    "l50_split_leakage": f"""
+        WITH {_DUCK_L6_CTES},
+        sp AS (
+          SELECT jaccard,
+                 CASE WHEN ui < {L44_CUTS[0][1]} THEN '{L44_CUTS[0][0]}'
+                      WHEN ui < {L44_CUTS[1][1]} THEN '{L44_CUTS[1][0]}'
+                      ELSE 'test' END AS si,
+                 CASE WHEN uj < {L44_CUTS[0][1]} THEN '{L44_CUTS[0][0]}'
+                      WHEN uj < {L44_CUTS[1][1]} THEN '{L44_CUTS[1][0]}'
+                      ELSE 'test' END AS sj
+          FROM (
+            SELECT jaccard,
+                   ({_duck_md5_int60("doc_i::VARCHAR || '_l44'")}
+                    % 1000000) / 1000000.0 AS ui,
+                   ({_duck_md5_int60("doc_j::VARCHAR || '_l44'")}
+                    % 1000000) / 1000000.0 AS uj
+            FROM v WHERE jaccard >= 0.8
+          )
+        )
+        SELECT least(si, sj) AS split_a,
+               greatest(si, sj) AS split_b,
+               COUNT(*) AS n_pairs,
+               ROUND(AVG(jaccard), 4) AS avg_jaccard,
+               least(si, sj) != greatest(si, sj) AS is_leak
+        FROM sp GROUP BY 1, 2
     """,
     "l45_pagerank": f"""
         WITH {_DUCK_L6_CTES},

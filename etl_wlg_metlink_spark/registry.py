@@ -167,6 +167,7 @@ _ORDER = (
     "l48_bpe_pair_counts",
     "l49_graph_triangles",
     "s10_capped_sessions",
+    "l50_split_leakage",
 )
 
 
