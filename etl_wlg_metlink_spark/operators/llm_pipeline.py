@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -239,7 +238,7 @@ def _banded_lsh_pairs(
     n_bands: int,
     threshold: float,
 ) -> DataFrame:
-    """Shared banded MinHash-LSH pipeline over a persisted
+    """Shared banded MinHash-LSH pipeline over a checkpointed
     (doc_id, hs: array<long>) relation — the single implementation
     behind l6 (word shingles, 8 perms × 4 bands, j ≥ 0.8) and l7
     (char 4-grams, 64 perms × 8 bands, j ≥ 0.5); the DuckDB twin is
@@ -315,10 +314,10 @@ def _minhash_verified_pairs(
 
     With ``materialize=True`` the pair set is eagerly localCheckpoint'd
     (lineage truncated — required by the CC iteration, whose per-round
-    plans would otherwise embed this whole pipeline ~2^rounds times)
-    and the internal diamond persist is released before returning: the
-    checkpoint holds the rows, so keeping the hash-array cache pinned
-    would be dead storage for the rest of the session."""
+    plans would otherwise embed this whole pipeline ~2^rounds times);
+    the internal diamond is itself an eager checkpoint rather than a
+    persist, so no cache stays pinned after the caller drops the
+    result (VERDICT r5 dead-cache class)."""
     docs = load(spark, sf_dir, "documents")
     # The raw table is a handful of parquet row-groups; the shingle+md5
     # stage is compute-dense, so spread it across all cores explicitly
@@ -331,14 +330,18 @@ def _minhash_verified_pairs(
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
     # The banded DAG is a diamond: `hashed` feeds the signature/band
-    # lineage AND both sides of the verify join. Persist it so the
-    # md5-per-shingle stage runs once, not three times (MEMORY_AND_DISK:
-    # at 100 TB the hash arrays spill rather than evict-and-recompute).
-    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # lineage AND both sides of the verify join. Eager localCheckpoint
+    # so the md5-per-shingle stage runs once, not three times — and
+    # unlike persist (which stays pinned in the CacheManager until an
+    # explicit unpersist nothing here could safely issue before the
+    # caller materializes), checkpoint blocks are released by the
+    # ContextCleaner once the result goes out of scope. Checkpoint
+    # blocks spill to local disk when memory is tight — the same
+    # at-100-TB behavior MEMORY_AND_DISK gave.
+    hashed = hashed.localCheckpoint(eager=True)
     pairs = _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=threshold)
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
-        hashed.unpersist()
     return pairs
 
 
@@ -404,7 +407,12 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("cg"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
     # Same diamond as l6: one md5-per-gram pass instead of three.
-    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoint, not persist: a persist here has no release
+    # path once the query function returns (the VERDICT r5 dead-cache
+    # class — the 64-perm gram arrays stayed pinned for the session);
+    # checkpoint blocks are freed by the ContextCleaner when the result
+    # DataFrame goes out of scope.
+    hashed = hashed.localCheckpoint(eager=True)
     return _banded_lsh_pairs(hashed, UH_PARAMS_L7, N_BANDS_L7, threshold=0.5)
 
 
@@ -1510,8 +1518,11 @@ def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(_shingles(F.col("text"))).alias("g")
     )
     # the gram explode feeds both the benchmark-set build and the train
-    # probe — persist so the shingle pass runs once, not twice
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    # probe — eager localCheckpoint so the shingle pass runs once, not
+    # twice, without leaving a pinned cache behind (ContextCleaner
+    # frees checkpoint blocks when the result is dropped; a persist
+    # here had no release path)
+    grams = grams.localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % L23_BENCH_MOD == 0
     bench_grams = grams.where(is_bench).select("g").distinct()
     contaminated = (

@@ -121,7 +121,11 @@ def s4_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         result.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
     )
 
 
@@ -227,11 +231,19 @@ def s10_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     close on a 30-minute gap OR at SESSION_CAP events — semantics
     Spark's native session_window cannot express, implemented as an
     applyInPandasWithState operator (runners.capped_sessions_stream).
-    The single-file availableNow replay is one micro-batch, so each
-    session is emitted exactly once; the oracle is the closed-form
-    batch equivalent (gaps-and-islands, then positional cap split
-    within each island — cap splitting is positional, which is what
-    makes these custom semantics SQL-checkable at all)."""
+    Update-mode re-emits a session each batch its key appears in, so
+    the lane keeps only the LAST emission per (user_id, session_seq)
+    (max n_events, closed beats open — a later emission of the same
+    session always has >= events). With a single-file replay the dedup
+    is a no-op, but correctness no longer depends on that data-layout
+    invariant: a multi-file landing (maxFilesPerTrigger=1 → several
+    micro-batches) re-emits boundary-open sessions and still converges
+    to the same final verdicts. The oracle is the closed-form batch
+    equivalent (gaps-and-islands, then positional cap split within
+    each island — cap splitting is positional, which is what makes
+    these custom semantics SQL-checkable at all)."""
+    from pyspark.sql import Window
+
     from etl_wlg_metlink_spark.streaming import runners
 
     stream = runners.events_stream(spark, sf_dir)
@@ -242,15 +254,24 @@ def s10_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             runners.capped_sessions_stream(stream), output_mode="update"
         ),
     )
-    return result.select(
-        "user_id",
-        "session_seq",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        "n_events",
-        "sum_value",
-        "closed",
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("n_events").desc(), F.col("closed").desc()
+    )
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "session_seq",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            # JVM-side half-up rounding, matching the oracle's ROUND —
+            # the worker emits raw sums (Python round() is half-even).
+            F.round("sum_value", 4).alias("sum_value"),
+            "closed",
+        )
     )
 
 

@@ -400,9 +400,11 @@ def user_track_state_stream(events: DataFrame) -> DataFrame:
             count += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((count, float(total)))
+        # raw float — the lane rounds JVM-side (F.round, half-up, same
+        # as the oracle's ROUND); Python round() is half-even
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [count],
-             "total_value": [round(total, 4)]}
+             "total_value": [total]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -563,7 +565,11 @@ def capped_sessions_stream(events: DataFrame) -> DataFrame:
 
     Emits every session (closed ones plus the trailing still-open one,
     flagged via ``closed``) each time the key appears in a batch;
-    update-mode consumers take the last emission per (user, seq). A
+    update-mode consumers MUST take the last emission per (user, seq) —
+    a session open across a micro-batch boundary is re-emitted with its
+    final verdict in a later batch. The s10 lane applies that dedup
+    itself (last-emission window on n_events/closed), so correctness
+    does not depend on the source replaying as a single file/batch. A
     session only closes when the NEXT event arrives (gap or cap
     overflow), so the chronologically last session of a key is always
     open — which is exactly what the batch oracle encodes."""
@@ -585,7 +591,16 @@ def capped_sessions_stream(events: DataFrame) -> DataFrame:
             out.append((seq, start_us, n, total, True))
             seq, start_us, last_us, n, total = seq + 1, -1, -1, 0, 0.0
 
-        for pdf in pdfs:
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks once it
+        # exceeds arrow.maxRecordsPerBatch (default 10k), with no order
+        # guarantee ACROSS chunks — sorting each chunk independently
+        # would split/merge sessions at chunk boundaries. Concatenate
+        # the whole batch first, then sort once (the per-key batch is
+        # bounded by the micro-batch, not the stream, so this stays
+        # memory-safe at scale; state is still O(1) per key).
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = pdf["ts"].astype("int64") // 1000
             vals = pdf["value"].fillna(0.0)
@@ -609,7 +624,12 @@ def capped_sessions_stream(events: DataFrame) -> DataFrame:
                         pd.Timestamp(o[1], unit="us") for o in out
                     ],
                     "n_events": [o[2] for o in out],
-                    "sum_value": [round(o[3], 4) for o in out],
+                    # raw float sums — rounding happens JVM-side in the
+                    # lane's final select (F.round, half-up) so the
+                    # oracle's ROUND semantics match exactly; Python's
+                    # round() here would be half-even and diverge on an
+                    # exact .00005 boundary.
+                    "sum_value": [o[3] for o in out],
                     "closed": [o[4] for o in out],
                 }
             )

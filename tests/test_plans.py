@@ -130,3 +130,25 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, name):
         assert name in BNLJ_OK, (
             f"{name} plans an unexpected BroadcastNestedLoopJoin"
         )
+
+
+def test_no_pinned_persist_in_package():
+    """VERDICT r5 hygiene gate: a bare ``.persist(`` inside a query
+    function has no release path once the function returns — the cache
+    stays pinned in the CacheManager for the whole session (the l7
+    dead-cache class). The sanctioned diamond-reuse pattern is eager
+    ``localCheckpoint`` (blocks freed by the ContextCleaner when the
+    result goes out of scope), so the package must contain no persist
+    calls at all."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "etl_wlg_metlink_spark"
+    )
+    offenders = [
+        str(p)
+        for p in sorted(pkg.rglob("*.py"))
+        if ".persist(" in p.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], f"unreleased persist in {offenders}"

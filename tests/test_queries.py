@@ -772,13 +772,21 @@ def test_l48_bpe_pairs_invariants(spark, sf_dir):
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(len(r["pair"]) == 2 and r["pair_count"] > 0 for r in rows)
-    docs = queries()["l1_token_stats"](spark, sf_dir)  # touch nothing; use raw load
+    # the top merge pair must occur somewhere in the FULL corpus (a
+    # head(50) sample isn't guaranteed to contain the corpus-wide top
+    # pair — ADVICE r5)
+    from pyspark.sql import functions as F
+
     from etl_wlg_metlink_spark.tables import load
 
-    text = " ".join(
-        t["text"] for t in load(spark, sf_dir, "documents").select("text").head(50)
+    top = rows[0]["pair"]
+    hits = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").contains(top))
+        .limit(1)
+        .count()
     )
-    assert rows[0]["pair"] in text
+    assert hits == 1, f"top BPE pair {top!r} absent from the corpus"
 
 
 def test_l49_triangles_vs_l22_clusters(spark, sf_dir):
