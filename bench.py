@@ -7,10 +7,26 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Execution is forced with the `noop` sink (full pipeline runs, no
 driver-side row materialization skewing the timing).
+
+Modes (VERDICT r5 item 1 — separate query cost from session
+neighborhood effects):
+
+    python bench.py                      # full suite, shared session
+    python bench.py --only a,b,c         # just the named queries
+    python bench.py --fresh-session N    # full suite, then re-time the
+                                         # N slowest in a brand-new
+                                         # SparkSession and print both
+                                         # numbers per query
+
+A fresh-session number close to the shared-session number means the
+query really costs that much; a big gap means the shared-session
+timing was inflated by neighborhood effects (heap/GC pressure, code
+cache, lingering broadcast blocks) rather than the query's plan.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -22,35 +38,79 @@ from __spark_entry__ import queries  # noqa: E402
 from etl_wlg_metlink_spark.session import build_session  # noqa: E402
 
 
+def _time_query(spark, fn, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm: JIT + file listing
+    # Two timed passes, keep the MIN: after ~190 prior executions a
+    # single pass occasionally absorbs a multi-second GC/compaction
+    # spike (observed inflating one mid-list query per run by
+    # 4-10×); the min of two is stable across whole-bench runs and
+    # matches what the same query costs in a fresh session.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        # Deterministic cleanup BETWEEN measurements (JMH-style):
+        # drop cached plans and force the JVM cleaner now, so
+        # accumulated shuffle/broadcast garbage never GCs inside a
+        # later query's timed window.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    return best
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument(
+        "--fresh-session",
+        type=int,
+        default=0,
+        metavar="N",
+        help="after the suite, re-time the N slowest queries in a new "
+        "SparkSession and report shared-vs-fresh per query",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
 
+    all_queries = queries()
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in all_queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        all_queries = {n: all_queries[n] for n in names}
+
     spark = build_session(app_name="bench")
     timings: dict[str, float] = {}
-    for name, fn in queries().items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: JIT + file listing
-        # Two timed passes, keep the MIN: after ~190 prior executions a
-        # single pass occasionally absorbs a multi-second GC/compaction
-        # spike (observed inflating one mid-list query per run by
-        # 4-10×); the min of two is stable across whole-bench runs and
-        # matches what the same query costs in a fresh session.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            # Deterministic cleanup BETWEEN measurements (JMH-style):
-            # drop cached plans and force the JVM cleaner now, so
-            # accumulated shuffle/broadcast garbage never GCs inside a
-            # later query's timed window.
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-        timings[name] = round(best, 3)
+    for name, fn in all_queries.items():
+        timings[name] = round(_time_query(spark, fn, sf_dir), 3)
+
+    fresh: dict[str, float] = {}
+    if args.fresh_session:
+        worst = sorted(timings, key=lambda n: -timings[n])[: args.fresh_session]
+        # Tear the session down and rebuild: same JVM (py4j gateway
+        # survives), but a new SparkContext — empty block manager,
+        # empty cache, fresh codegen state. That isolates session
+        # accumulation from real query cost without a process restart.
+        spark.stop()
+        spark = build_session(app_name="bench_fresh")
+        for name in worst:
+            fresh[name] = round(_time_query(spark, queries()[name], sf_dir), 3)
+        for name in worst:
+            shared_t, fresh_t = timings[name], fresh[name]
+            ratio = round(shared_t / fresh_t, 2) if fresh_t > 0 else None
+            print(
+                f"fresh-session {name}: shared={shared_t}s "
+                f"fresh={fresh_t}s shared/fresh={ratio}",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     # Full per-query detail first (humans / our own diffing; ~3.4 KB —
@@ -68,11 +128,15 @@ def main() -> None:
         )
     )
     # Also bank the detail on disk so it survives regardless of capture.
+    detail = {"total_sec": total, "sf": sf, "queries": timings}
+    if fresh:
+        detail["fresh_session"] = fresh
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as f:
-        json.dump({"total_sec": total, "sf": sf, "queries": timings}, f, indent=1)
+    if not args.only:  # partial runs must not clobber the full record
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
     # Compact machine-readable summary LAST, on its own line, well under
     # the driver's tail window: this is the line the driver parses.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:3]

@@ -1380,6 +1380,15 @@ def l21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: as a round changes nothing.
 L22_MAX_ITERS = 20
 
+#: Driver-visible convergence telemetry, refreshed by every
+#: _min_label_propagation / _pagerank call (VERDICT r5 item 5). The
+#: same numbers ride the returned DataFrame as observe() metrics
+#: ("cc_convergence" / "pagerank_convergence") for listener-based
+#: production alerting; these dicts are the in-process mirror tests
+#: and notebooks read without wiring a QueryExecutionListener.
+CC_TELEMETRY: dict = {}
+PAGERANK_TELEMETRY: dict = {}
+
 
 def _min_label_propagation(
     pairs: DataFrame, max_iters: int = L22_MAX_ITERS
@@ -1400,7 +1409,15 @@ def _min_label_propagation(
     large-star/small-star pairing gets O(log n). Near-dup graphs are
     sparse and shallow by construction — the LSH stage already bounded
     the edge count — so diameter rounds with a cap is the right
-    simplicity/scale trade here."""
+    simplicity/scale trade here.
+
+    Convergence telemetry (VERDICT r5 item 5): the rounds-run count and
+    a converged flag are (a) recorded driver-side in ``CC_TELEMETRY``
+    and (b) attached to the returned labels via ``observe()`` as the
+    ``cc_convergence`` metric group, so a production listener
+    (QueryExecutionListener / streaming progress) can alert on a run
+    that hit ``max_iters`` without converging instead of silently
+    truncating clusters."""
     pairs = pairs.select("doc_i", "doc_j")
     edges = pairs.select(
         F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
@@ -1411,7 +1428,10 @@ def _min_label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
+    changed = -1
     for _ in range(max_iters):
+        rounds += 1
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")),
@@ -1437,7 +1457,17 @@ def _min_label_propagation(
         labels = merged.select("node", "lbl")
         if changed == 0:
             break
-    return labels
+    converged = changed == 0
+    CC_TELEMETRY.clear()
+    CC_TELEMETRY.update({"rounds": rounds, "converged": converged})
+    # max(lit) is a legal observe aggregate; values are constants the
+    # driver already knows — the point is putting them on the METRICS
+    # channel every downstream action of this result reports through.
+    return labels.observe(
+        "cc_convergence",
+        F.max(F.lit(rounds)).alias("rounds"),
+        F.max(F.lit(converged).cast("int")).alias("converged"),
+    )
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2622,7 +2652,15 @@ def _pagerank(pairs: DataFrame, n_iters: int = L45_ITERS) -> DataFrame:
     driver is only the node COUNT scalar. Rank sums accumulate in
     double; neighbor sets here are LSH-bounded (near-dup graphs are
     sparse), so aggregation-order float drift stays below the
-    ROUND(6) fence."""
+    ROUND(6) fence.
+
+    Convergence telemetry (VERDICT r5 item 5): fixed-iteration rank
+    runs can silently stop short of the fixpoint, so the LAST round's
+    max |rank - prev_rank| is measured (one small join over the two
+    checkpointed rank relations — bounded by node count, not edges),
+    recorded in ``PAGERANK_TELEMETRY`` and attached to the result as
+    the ``pagerank_convergence`` observe() metric group for
+    listener-based alerting on non-convergence."""
     pairs = pairs.select("doc_i", "doc_j")
     sym = pairs.select(
         F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
@@ -2638,7 +2676,9 @@ def _pagerank(pairs: DataFrame, n_iters: int = L45_ITERS) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"), "deg", F.lit(1.0 / n).alias("rank")
     )
+    prev = ranks
     for _ in range(n_iters):
+        prev = ranks
         contrib = (
             sym.join(
                 ranks.select(
@@ -2664,7 +2704,24 @@ def _pagerank(pairs: DataFrame, n_iters: int = L45_ITERS) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    final_delta = (
+        ranks.join(
+            prev.select("node", F.col("rank").alias("prev_rank")), "node"
+        )
+        .agg(F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
+        .first()["d"]
+        if n_iters > 0
+        else 0.0
+    )
+    PAGERANK_TELEMETRY.clear()
+    PAGERANK_TELEMETRY.update(
+        {"iters": n_iters, "final_max_delta": float(final_delta or 0.0)}
+    )
+    return ranks.observe(
+        "pagerank_convergence",
+        F.max(F.lit(n_iters)).alias("iters"),
+        F.max(F.lit(float(final_delta or 0.0))).alias("final_max_delta"),
+    )
 
 
 def l45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
