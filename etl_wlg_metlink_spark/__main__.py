@@ -6,6 +6,10 @@ of the composed pipeline.
     python -m etl_wlg_metlink_spark --fixture path/to/response.json
     python -m etl_wlg_metlink_spark --live            # needs METLINK_API_KEY
     python -m etl_wlg_metlink_spark --fixture f.json --out /tmp/features
+    python -m etl_wlg_metlink_spark --corpus-build /tmp/corpus \
+        --sf-dir /root/testdata/sf0.001   # LLM-corpus flagship: l42
+        # build → bucketed parquet write → read-back audit (one line of
+        # JSON per language on stdout)
 
 Config comes from the same env surface as the reference's Env
 (METLINK_API_KEY, SHOW_BUSES/TRAINS/SHIPS, DEBUG — config.py). With
@@ -18,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -30,7 +35,20 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="fetch the live Metlink endpoint (METLINK_API_KEY env)",
     )
+    src.add_argument(
+        "--corpus-build",
+        metavar="OUT_DIR",
+        help="run the l42 corpus build (dedup -> quality -> mixture) and "
+        "write the kept corpus there as a fp-bucketed parquet table; "
+        "prints the read-back per-language audit as JSON lines",
+    )
     ap.add_argument("--out", help="write JSON-lines features here instead of stdout")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="input tables dir for --corpus-build (default "
+        "$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.001)",
+    )
     ap.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
     args = ap.parse_args(argv)
 
@@ -42,6 +60,22 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = MetlinkConfig.from_env()
     spark = build_session(app_name="etl-wlg-metlink", master=args.master)
+
+    if args.corpus_build:
+        from etl_wlg_metlink_spark.sinks import corpus
+
+        counters, audit = corpus.write_corpus_build(
+            spark, args.sf_dir, args.corpus_build
+        )
+        for row in sorted(audit.collect(), key=lambda r: r["lang"]):
+            print(json.dumps(row.asDict()))
+        print(
+            f"corpus build: received {counters['received']}, dropped "
+            f"{counters['dropped']}, wrote {counters['written']} docs to "
+            f"{args.corpus_build}",
+            file=sys.stderr,
+        )
+        return 0
 
     if args.fixture:
         # S3 error→empty fallback (task.ts:180-188): a bad body still

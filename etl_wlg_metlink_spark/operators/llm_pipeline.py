@@ -2487,6 +2487,15 @@ def l42_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is a hash compare — the corpus flows through the whole
     build with its ONLY shuffles being the tiny counts aggregation and
     the final rollup."""
+    return _corpus_audit_rollup(_corpus_build_kept(spark, sf_dir))
+
+
+def _corpus_build_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEPT-document relation of the l42 corpus build (full doc
+    rows + the mixture stratum's n_clean/rate columns) — shared by the
+    l42 audit rollup and the corpus-build CLI write path
+    (sinks/corpus.write_corpus_build), so what gets WRITTEN is by
+    construction what the audit describes."""
     docs = load(spark, sf_dir, "documents")
     labels = _cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "lbl"
@@ -2506,7 +2515,13 @@ def l42_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_l42")))
         % 1000000
     ) / 1000000.0
-    kept = clean.join(F.broadcast(rates), "lang").where(u < F.col("rate"))
+    return clean.join(F.broadcast(rates), "lang").where(u < F.col("rate"))
+
+
+def _corpus_audit_rollup(kept: DataFrame) -> DataFrame:
+    """Per-language audit rollup over a kept-document relation; runs
+    identically over the in-plan build (l42) and the written corpus
+    read back from disk (CLI round-trip test)."""
     return kept.groupBy("lang").agg(
         F.first("n_clean").alias("n_clean"),
         F.round(F.first("rate"), 6).alias("rate"),
@@ -2526,25 +2541,22 @@ def l42_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 L43_W = 8
 
 
-def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-level dedup audit: fingerprint every L43_W-token
-    window of every document, mark windows whose fingerprint occurs in
-    >= 2 distinct documents, and report the per-document duplicated
-    span share — the signal substring-dedup pipelines cut on (a doc
-    that is 80% duplicated spans is boilerplate even when no WHOLE doc
-    matches, which is exactly what document-level l5/l6 cannot see).
-    Docs shorter than L43_W tokens have no windows and drop out.
+#: salt fan-out for the skew-safe l43 variant (r18's pattern)
+L43_SALT_R = 8
 
-    Scale shape: windows explode map-side (~n_tokens rows per doc, the
-    same lineage cost every shingle lane pays); fp -> distinct-doc
-    count is one hash-agg shuffle with map-side partials; the
-    dup-mark rejoin is fp-keyed (AQE handles hot boilerplate fps via
-    skew split); the per-doc rollup is one more shuffle on doc_id. No
-    suffix array, no global sort, nothing driver-side."""
-    docs = load(spark, sf_dir, "documents")
-    # window construction + one md5 per position is compute-dense on a
-    # tiny single-row-group input: spread it (see _minhash_verified_pairs)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+def _substring_dup_share(docs: DataFrame, salted: bool = False) -> DataFrame:
+    """Core of l43/l51 over an arbitrary (doc_id, text) relation:
+    per-document duplicated-span share from L43_W-token window
+    fingerprints. With ``salted=False`` the dup-mark rejoin is plain
+    fp-keyed and leans on AQE's skew split for hot boilerplate
+    fingerprints. With ``salted=True`` the rejoin is the DETERMINISTIC
+    salted form (r18's pattern) for the pathological
+    one-fp-dominates-the-corpus case AQE can only mitigate after the
+    fact: the window side gets salt = doc_id mod R, the (small,
+    aggregated) dup-fp side is exploded ×R, and the join key becomes
+    (fp, salt) — the hot fingerprint's rows spread over R reducers by
+    construction. Results are salt-invariant (pinned by test)."""
     ws = _words(F.col("text"))
     idx = F.sequence(F.lit(1), F.size(ws) - (L43_W - 1))
     wins = (
@@ -2558,13 +2570,26 @@ def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_docs = wins.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
-    marked = wins.join(
-        fp_docs.where(F.col("n_docs") >= 2).select("fp").withColumn(
-            "is_dup", F.lit(1)
-        ),
-        "fp",
-        "left",
+    dup_fps = (
+        fp_docs.where(F.col("n_docs") >= 2)
+        .select("fp")
+        .withColumn("is_dup", F.lit(1))
     )
+    if salted:
+        salted_wins = wins.withColumn(
+            "l43_salt", F.pmod(F.col("doc_id"), F.lit(L43_SALT_R)).cast("int")
+        )
+        salted_dups = dup_fps.withColumn(
+            "l43_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(L43_SALT_R - 1)).cast("array<int>")
+            ),
+        )
+        marked = salted_wins.join(
+            salted_dups, ["fp", "l43_salt"], "left"
+        ).drop("l43_salt")
+    else:
+        marked = wins.join(dup_fps, "fp", "left")
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -2580,6 +2605,43 @@ def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_dup") / F.col("n_windows"), 4).alias("dup_share"),
         )
     )
+
+
+def l43_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup audit: fingerprint every L43_W-token
+    window of every document, mark windows whose fingerprint occurs in
+    >= 2 distinct documents, and report the per-document duplicated
+    span share — the signal substring-dedup pipelines cut on (a doc
+    that is 80% duplicated spans is boilerplate even when no WHOLE doc
+    matches, which is exactly what document-level l5/l6 cannot see).
+    Docs shorter than L43_W tokens have no windows and drop out.
+
+    Scale shape: windows explode map-side (~n_tokens rows per doc, the
+    same lineage cost every shingle lane pays); fp -> distinct-doc
+    count is one hash-agg shuffle with map-side partials; the
+    dup-mark rejoin is fp-keyed (AQE handles hot boilerplate fps via
+    skew split — l51 is the deterministic salted twin for corpora
+    where one fingerprint dominates); the per-doc rollup is one more
+    shuffle on doc_id. No suffix array, no global sort, nothing
+    driver-side."""
+    docs = load(spark, sf_dir, "documents")
+    # window construction + one md5 per position is compute-dense on a
+    # tiny single-row-group input: spread it (see _minhash_verified_pairs)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return _substring_dup_share(docs, salted=False)
+
+
+def l51_substring_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l43's deterministic skew-safe twin (VERDICT r5 stretch 6): the
+    dup-mark rejoin runs in the salted (fp, doc_id mod R) form so a
+    single boilerplate fingerprint owning a large corpus fraction
+    spreads over R reducers by construction instead of relying on
+    AQE's after-the-fact skew split. Same answer as l43 by
+    construction (salt-invariant — the dim side is exploded over every
+    salt value), same oracle."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return _substring_dup_share(docs, salted=True)
 
 
 #: l44 split fractions: cumulative cut points on the unit interval.
@@ -3018,6 +3080,7 @@ QUERIES = {
     "l48_bpe_pair_counts": l48_bpe_pair_counts,
     "l49_graph_triangles": l49_graph_triangles,
     "l50_split_leakage": l50_split_leakage,
+    "l51_substring_dedup_salted": l51_substring_dedup_salted,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -4330,3 +4393,7 @@ ORACLE = {
         FROM idx
     """,
 }
+
+# l51 is l43's salted twin — the salt is an execution-strategy detail,
+# invisible in the result, so the oracle is literally l43's.
+ORACLE["l51_substring_dedup_salted"] = ORACLE["l43_substring_dedup"]

@@ -168,6 +168,8 @@ _ORDER = (
     "l49_graph_triangles",
     "s10_capped_sessions",
     "l50_split_leakage",
+    # round 6 tail
+    "l51_substring_dedup_salted",
 )
 
 

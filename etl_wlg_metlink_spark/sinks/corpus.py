@@ -89,3 +89,50 @@ def write_dedup_corpus(
         "dropped": n_total - n_written,
         "written": n_written,
     }
+
+
+def write_corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    table: str = "corpus_build",
+    n_buckets: int = 8,
+) -> tuple[dict, DataFrame]:
+    """The engine's flagship one-command story (VERDICT r5 stretch 7):
+    run the FULL l42 corpus build (near-dup dedup → quality gate →
+    temperature mixture) and land the kept documents as a bucketed
+    Parquet table — l42's audit rollup and this write share the same
+    kept-relation plan, so the written corpus is by construction the
+    one the audit describes.
+
+    The mixture columns (n_clean, rate) ride along in the written
+    schema; the returned audit DataFrame is computed FROM THE WRITTEN
+    TABLE, which makes the CLI's printed audit a read-back proof, not
+    an in-plan claim. Returns (counters, audit_df)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _corpus_audit_rollup,
+        _corpus_build_kept,
+    )
+
+    kept = _corpus_build_kept(spark, sf_dir)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    out = kept.withColumn("fp", fp).repartition(n_buckets, F.col("fp"))
+    (
+        out.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "fp")
+        .sortBy("fp")
+        .saveAsTable(table)
+    )
+    written = spark.table(table)
+    n_total = load(spark, sf_dir, "documents").count()
+    n_written = written.count()
+    counters = {
+        "received": n_total,
+        "dropped": n_total - n_written,
+        "written": n_written,
+    }
+    return counters, _corpus_audit_rollup(written.drop("fp"))

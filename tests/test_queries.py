@@ -721,6 +721,51 @@ def test_l43_marks_planted_duplicate_span(spark, tmp_path):
         assert 0 <= r["n_dup"] <= r["n_windows"]
 
 
+def test_l51_salted_substring_dedup_matches_unsalted(spark, tmp_path):
+    """VERDICT r5 stretch 6: plant the pathological corpus — ONE
+    boilerplate fingerprint shared by (almost) every document — and
+    pin (a) salted result == unsalted result row for row, and (b) the
+    salted plan really joins on (fp, salt) with the dup-fp side
+    exploded over every salt value."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L43_W,
+        l43_substring_dedup,
+        l51_substring_dedup_salted,
+    )
+
+    span = " ".join(f"hot{i}" for i in range(L43_W))  # exactly 1 window
+    rows = [
+        (i, span + f" tail{i}a tail{i}b", "en", "web", 0) for i in range(40)
+    ] + [(99, " ".join(f"solo{i}" for i in range(L43_W + 2)), "en", "web", 0)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    sf = str(tmp_path)
+    plain = sorted(map(tuple, l43_substring_dedup(spark, sf).collect()))
+    salted = sorted(map(tuple, l51_substring_dedup_salted(spark, sf).collect()))
+    assert salted == plain
+    # every doc carrying the hot span has its first window marked dup
+    by_id = {t[0]: t for t in salted}
+    assert all(by_id[i][2] >= 1 for i in range(40))  # n_dup >= 1
+    assert by_id[99][2] == 0
+    # the salt is really in the join: analyzed plan joins on the salt
+    # column and explodes the salt sequence on the dup-fp side
+    plan = (
+        l51_substring_dedup_salted(spark, sf)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "l43_salt" in plan and "explode" in plan
+    assert "l43_salt" not in (
+        l43_substring_dedup(spark, sf)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+
+
 def test_l44_split_deterministic_and_complete(spark, sf_dir):
     """Hash split must partition the corpus exactly (no doc lost or
     double-counted), keep split shares near the cut points, and be
