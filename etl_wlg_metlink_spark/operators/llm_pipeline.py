@@ -2687,6 +2687,139 @@ def l51_substring_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _substring_dup_share(docs, salted=True)
 
 
+#: l52 snapshot membership/edit moduli — deterministic so both engines
+#: derive identical v1/v2 snapshots from the one shared table: v1
+#: lacks doc_id%11==3, v2 lacks doc_id%13==5, v2 edited doc_id%17==2.
+L52_V1_MOD, L52_V2_MOD, L52_EDIT_MOD = 11, 13, 17
+
+
+def l52_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the CDC audit every *versioned* training
+    corpus needs before retraining: which documents were added,
+    removed, changed (by content hash), or untouched between release
+    v1 and release v2, rolled up per source with id checksums. The two
+    snapshots are deterministic views of the one test table (see the
+    moduli above) so the oracle sees byte-identical inputs.
+
+    Scale shape: content md5 is map-side on each snapshot scan; the
+    diff is ONE full-outer join on doc_id (at 100 TB both snapshot
+    tables live bucketed by doc_id, making this join shuffle-free);
+    status is a map-side CASE; the rollup output is bounded by
+    sources × 4 statuses."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % L52_V1_MOD != 3).select(
+        "doc_id", "source", F.md5(F.col("text")).alias("fp1")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % L52_EDIT_MOD == 2,
+        F.concat(F.col("text"), F.lit(" v2edit")),
+    ).otherwise(F.col("text"))
+    v2 = docs.where(F.col("doc_id") % L52_V2_MOD != 5).select(
+        "doc_id",
+        F.col("source").alias("source2"),
+        F.md5(v2_text).alias("fp2"),
+    )
+    status = (
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full")
+        .groupBy(
+            F.coalesce("source", "source2").alias("source"),
+            status.alias("status"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+#: l53 outcome proxy: a doc is "long" at >= this many whitespace tokens
+L53_LONG_TOKENS = 40
+
+
+def l53_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the l2 quality score — the audit run
+    before trusting a scalar quality filter with a corpus-wide cut:
+    fixed-width score deciles (floor(score·10), capped at 9) against
+    an independent outcome (long-document rate + mean token count). A
+    score whose deciles don't order the outcome is a bad filter no
+    matter how principled its formula; this is the fastText-classifier
+    calibration step, run on the heuristic score.
+
+    Scale shape: map-only score + bucket per doc, then one hash-agg
+    shuffle onto ≤ 10 bucket rows. Bucketing uses the ROUND(4)ed score
+    (the value both engines already agree on exactly — pinned by l2)
+    so decile boundaries can't straddle an ulp."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    score = F.round(_quality_score_raw(ws), 4)
+    bucket = F.least(F.floor(score * 10).cast("int"), F.lit(9))
+    n_tok = F.size(ws)
+    long_doc = (n_tok >= L53_LONG_TOKENS).cast("int")
+    return (
+        base.select(bucket.alias("decile"), score.alias("score"), n_tok.alias("n_tok"), long_doc.alias("is_long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+            F.round(F.avg("is_long"), 6).alias("long_rate"),
+        )
+    )
+
+
+def l54_split_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit across the train/val/test hash split
+    (l44's deterministic assignment, shared _hash_split_col): fit an
+    add-1-smoothed unigram LM on the TRAIN tokens only, then score
+    every split with it — per-split token count, out-of-vocabulary
+    rate, and unigram cross-entropy. Val/test cross-entropy far above
+    train means the split broke the distribution (or the corpus is too
+    small to split); OOV rate is the tokenizer-coverage twin. This is
+    the cheap pre-training sanity check run before burning GPU-hours
+    on a bad split.
+
+    Scale shape: ONE explode over the corpus feeds both the train
+    count build (groupBy word, map-side partials) and the scoring
+    join; the scalar (N, V) totals ride a 1-row broadcast cross join
+    — never a driver-side collect. The scoring join is word-keyed; at
+    100 TB the hot head of the vocabulary would take l20's
+    broadcast-head/shuffle-tail split — here the whole count relation
+    is the join side and AQE broadcasts it while it fits."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        _hash_split_col(F.col("doc_id")).alias("split"),
+        F.explode(_words(F.col("text"))).alias("w"),
+    )
+    train_counts = (
+        toks.where(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = train_counts.agg(
+        F.sum("c").alias("n_train"), F.count("*").alias("v_train")
+    )
+    scored = toks.join(train_counts, "w", "left").crossJoin(
+        F.broadcast(totals)
+    )
+    logp = F.log2(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_train") + F.col("v_train")).cast("double")
+    )
+    return scored.groupBy("split").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.col("c").isNull().cast("int")), 6).alias("oov_rate"),
+        F.round(-F.avg(logp), 4).alias("cross_entropy"),
+    )
+
+
 #: l44 split fractions: cumulative cut points on the unit interval.
 L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
 
@@ -3127,6 +3260,9 @@ QUERIES = {
     "l49_graph_triangles": l49_graph_triangles,
     "l50_split_leakage": l50_split_leakage,
     "l51_substring_dedup_salted": l51_substring_dedup_salted,
+    "l52_corpus_diff": l52_corpus_diff,
+    "l53_quality_calibration": l53_quality_calibration,
+    "l54_split_crossentropy": l54_split_crossentropy,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -4443,3 +4579,75 @@ ORACLE = {
 # l51 is l43's salted twin — the salt is an execution-strategy detail,
 # invisible in the result, so the oracle is literally l43's.
 ORACLE["l51_substring_dedup_salted"] = ORACLE["l43_substring_dedup"]
+
+ORACLE["l52_corpus_diff"] = f"""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS fp1
+      FROM documents WHERE doc_id % {L52_V1_MOD} != 3
+    ),
+    v2 AS (
+      SELECT doc_id, source AS source2,
+             md5(CASE WHEN doc_id % {L52_EDIT_MOD} = 2
+                      THEN text || ' v2edit' ELSE text END) AS fp2
+      FROM documents WHERE doc_id % {L52_V2_MOD} != 5
+    )
+    SELECT COALESCE(v1.source, v2.source2) AS source,
+           CASE WHEN fp1 IS NULL THEN 'added'
+                WHEN fp2 IS NULL THEN 'removed'
+                WHEN fp1 != fp2 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT) AS sum_ids
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE["l53_quality_calibration"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), m AS (
+      SELECT len(ws) AS n_tok,
+             ROUND(0.35 * (len(list_distinct(ws))::DOUBLE / len(ws))
+                 + 0.25 * (1 - len(list_filter(ws, w -> w IN ({_STOP_SQL})))::DOUBLE
+                           / len(ws))
+                 + 0.4 * least(len(ws) / 60.0, 1.0), 4) AS score
+      FROM t
+    )
+    SELECT least(CAST(floor(score * 10) AS INT), 9) AS decile,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score,
+           ROUND(AVG(n_tok), 4) AS mean_tokens,
+           ROUND(AVG(CASE WHEN n_tok >= {L53_LONG_TOKENS} THEN 1 ELSE 0 END),
+                 6) AS long_rate
+    FROM m GROUP BY 1
+"""
+
+ORACLE["l54_split_crossentropy"] = f"""
+    WITH toks AS (
+      SELECT CASE
+               WHEN ({_duck_md5_int60("doc_id::VARCHAR || '_l44'")} % 1000000)
+                    / 1000000.0 < {L44_CUTS[0][1]} THEN '{L44_CUTS[0][0]}'
+               WHEN ({_duck_md5_int60("doc_id::VARCHAR || '_l44'")} % 1000000)
+                    / 1000000.0 < {L44_CUTS[1][1]} THEN '{L44_CUTS[1][0]}'
+               ELSE 'test'
+             END AS split,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tc AS (
+      SELECT w, COUNT(*) AS c FROM toks WHERE split = 'train' GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_train,
+             COUNT(*) AS v_train FROM tc
+    )
+    SELECT split,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(CASE WHEN c IS NULL THEN 1 ELSE 0 END), 6) AS oov_rate,
+           ROUND(-AVG(log2((COALESCE(c, 0) + 1)::DOUBLE
+                           / (n_train + v_train)::DOUBLE)), 4)
+             AS cross_entropy
+    FROM toks LEFT JOIN tc USING (w) CROSS JOIN tot
+    GROUP BY split
+"""

@@ -745,6 +745,52 @@ def r27_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r28_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped cheapest-supplier-per-part, re-expressed over
+    lineitem (the dataset ships no partsupp): minimum observed line
+    price per (part, supplier), then the argmin supplier per part with
+    supplier/nation names — the correlated-min pattern Q2 writes as a
+    scalar subquery, done as aggregate + window (Catalyst decorrelates
+    to the same shape; the window form makes the single-survivor
+    tie-break explicit: price then suppkey).
+
+    Scale shape: the (partkey, suppkey) aggregation is the only pass
+    over lineitem — one shuffle with map-side partials collapsing ~4
+    lines per pair. The argmin window repartitions only the AGGREGATED
+    relation (≪ lineitem). nation is a pinned broadcast; part and
+    supplier join the tiny per-part survivor set (AQE broadcasts at
+    small SF, degrades to keyed shuffle at 100 TB). Top-100 is
+    TakeOrderedAndProject with full deterministic tie-breaks."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec2("l_extendedprice")).alias("min_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            "min_price",
+        )
+        .orderBy("min_price", "p_partkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -773,6 +819,7 @@ QUERIES = {
     "r25_pricing_summary": r25_pricing_summary,
     "r26_local_supplier_volume": r26_local_supplier_volume,
     "r27_large_volume_customer": r27_large_volume_customer,
+    "r28_min_cost_supplier": r28_min_cost_supplier,
 }
 
 _R21_LAGS = ",\n".join(
@@ -832,6 +879,28 @@ ORACLE = {
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """,
+    "r28_min_cost_supplier": """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS min_price
+          FROM lineitem GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY l_partkey
+                      ORDER BY min_price, l_suppkey) AS rn
+          FROM cost
+        )
+        SELECT p_partkey, p_name, p_brand, s_name,
+               n_name AS supplier_nation, min_price
+        FROM best
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE rn = 1
+        ORDER BY min_price, p_partkey
+        LIMIT 100
     """,
     "r27_large_volume_customer": f"""
         WITH big AS (

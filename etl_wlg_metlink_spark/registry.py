@@ -170,6 +170,10 @@ _ORDER = (
     "l50_split_leakage",
     # round 6 tail
     "l51_substring_dedup_salted",
+    "l52_corpus_diff",
+    "l53_quality_calibration",
+    "l54_split_crossentropy",
+    "r28_min_cost_supplier",
 )
 
 

@@ -890,3 +890,89 @@ def test_l49_triangles_vs_l22_clusters(spark, sf_dir):
     sizes = Counter(cluster_of.values())
     for n in tri_nodes:
         assert sizes[cluster_of[n]] >= 3
+
+
+def test_l52_corpus_diff_statuses_partition(spark, sf_dir):
+    """The diff must partition v1 ∪ v2 exactly: per-status doc counts
+    recomputed driver-side from the snapshot moduli must match, and
+    'changed' must be exactly the edited overlap."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L52_EDIT_MOD,
+        L52_V1_MOD,
+        L52_V2_MOD,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    ids = [r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()]
+    exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for i in ids:
+        in1, in2 = i % L52_V1_MOD != 3, i % L52_V2_MOD != 5
+        if in1 and in2:
+            exp["changed" if i % L52_EDIT_MOD == 2 else "unchanged"] += 1
+        elif in2:
+            exp["added"] += 1
+        elif in1:
+            exp["removed"] += 1
+    rows = queries()["l52_corpus_diff"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got[r["status"]] = got.get(r["status"], 0) + r["n_docs"]
+    assert got == {k: v for k, v in exp.items() if v}
+
+
+def test_l53_calibration_buckets(spark, sf_dir):
+    """Deciles are valid fixed-width buckets: scores inside bucket
+    bounds, counts cover the corpus, and the outcome signal varies
+    across buckets (otherwise the curve is vacuous)."""
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = sorted(
+        queries()["l53_quality_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows
+    total = 0
+    for r in rows:
+        assert 0 <= r["decile"] <= 9
+        lo, hi = r["decile"] / 10.0, (r["decile"] + 1) / 10.0
+        assert lo <= r["min_score"] <= r["max_score"]
+        assert r["max_score"] < hi or r["decile"] == 9
+        assert 0.0 <= r["long_rate"] <= 1.0
+        total += r["n_docs"]
+    assert total == load(spark, sf_dir, "documents").count()
+    assert len({r["long_rate"] for r in rows}) > 1
+
+
+def test_l54_crossentropy_invariants(spark, sf_dir):
+    """Train scores itself: OOV must be exactly 0 on train and the
+    cross-entropy positive everywhere; all three splits present."""
+    rows = {r["split"]: r for r in queries()["l54_split_crossentropy"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"]["oov_rate"] == 0.0
+    for r in rows.values():
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["cross_entropy"] > 0
+
+
+def test_r28_one_supplier_per_part(spark, sf_dir):
+    """Argmin discipline: each part appears at most once, prices
+    ascend, and every reported price is a real minimum (spot-check the
+    first row against a direct aggregation)."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["r28_min_cost_supplier"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts))
+    prices = [float(r["min_price"]) for r in rows]
+    assert prices == sorted(prices)
+    li = load(spark, sf_dir, "lineitem")
+    true_min = (
+        li.where(F.col("l_partkey") == rows[0]["p_partkey"])
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("m"))
+        .first()["m"]
+    )
+    assert float(true_min) == float(rows[0]["min_price"])
