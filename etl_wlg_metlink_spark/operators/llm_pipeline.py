@@ -2820,6 +2820,87 @@ def l54_split_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l55 product-quantization geometry: 64-dim vectors → PQ_M subspaces
+#: of PQ_DSUB dims, PQ_K codewords per subspace (the codebook = the
+#: subvectors of the PQ_K lowest vec_ids — deterministic, no k-means
+#: dependency, so the full DuckDB oracle holds).
+PQ_M, PQ_DSUB, PQ_K = 8, 8, 16
+
+
+def l55_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit — the compression path every
+    billion-vector ANN index ships (IVF recalls cells, PQ makes the
+    in-cell vectors fit: 8 one-byte codes replace 64 float32s, 32×,
+    and query-time distances come from 8 table lookups — ADC). Each
+    vector's 8 subvectors are assigned to the nearest of 16 codewords
+    per subspace (L2, deterministic (dist, seed_id) tie-break); the
+    report is the per-label reconstruction story: mean total squared
+    error and how much of the codebook the label actually uses (dead
+    codewords are how PQ recall silently rots).
+
+    Scale shape: the codebook is PQ_M×PQ_K = 128 subvectors — a
+    broadcast; the corpus explodes ×PQ_M map-side, the codeword argmin
+    is a broadcast-join + groupBy min(struct) with map-side partials
+    (never a window sort), and the two rollups shuffle only (vec, s)-
+    and label-grained aggregates. One corpus pass end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    subs_of = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.transform(
+            F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB),
+            lambda x: x.cast("double"),
+        ),
+    )
+    subs = emb.select(
+        "vec_id", "label", F.posexplode(subs_of).alias("s", "sub")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), "embedding")
+        .select(
+            "seed_id", F.posexplode(subs_of).alias("s", "seed_sub")
+        )
+    )
+    d = F.aggregate(
+        F.zip_with("sub", "seed_sub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(seeds), "s")
+        .select(
+            "vec_id",
+            "label",
+            "s",
+            F.struct(d.alias("dist"), F.col("seed_id")).alias("cand"),
+        )
+        .groupBy("vec_id", "label", "s")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id",
+            "label",
+            "s",
+            F.col("best.dist").alias("dist"),
+            F.col("best.seed_id").alias("code"),
+        )
+    )
+    per_vec = best.groupBy("vec_id", "label").agg(
+        F.sum("dist").alias("total_err")
+    )
+    usage = best.groupBy("label").agg(
+        F.count_distinct("s", "code").alias("codes_used")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("total_err"), 6).alias("mean_sq_err"),
+        )
+        .join(usage, "label")
+    )
+
+
 #: l44 split fractions: cumulative cut points on the unit interval.
 L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
 
@@ -3263,6 +3344,7 @@ QUERIES = {
     "l52_corpus_diff": l52_corpus_diff,
     "l53_quality_calibration": l53_quality_calibration,
     "l54_split_crossentropy": l54_split_crossentropy,
+    "l55_product_quantization": l55_product_quantization,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -4650,4 +4732,49 @@ ORACLE["l54_split_crossentropy"] = f"""
              AS cross_entropy
     FROM toks LEFT JOIN tc USING (w) CROSS JOIN tot
     GROUP BY split
+"""
+
+ORACLE["l55_product_quantization"] = f"""
+    WITH sub AS (
+      SELECT vec_id, label, s,
+             list_transform(embedding[s*{PQ_DSUB}+1 : s*{PQ_DSUB}+{PQ_DSUB}],
+                            x -> x::DOUBLE) AS sub
+      FROM (SELECT *, unnest(range({PQ_M})) AS s FROM embeddings)
+    ),
+    seeds AS (
+      SELECT seed_id, s,
+             list_transform(embedding[s*{PQ_DSUB}+1 : s*{PQ_DSUB}+{PQ_DSUB}],
+                            x -> x::DOUBLE) AS seed_sub
+      FROM (
+        SELECT *, unnest(range({PQ_M})) AS s FROM (
+          SELECT vec_id AS seed_id, embedding
+          FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+        )
+      )
+    ),
+    scored AS (
+      SELECT vec_id, label, sub.s AS s, seed_id,
+             list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+               i -> (sub[i] - seed_sub[i]) * (sub[i] - seed_sub[i]))) AS dist
+      FROM sub JOIN seeds ON sub.s = seeds.s
+    ),
+    best AS (
+      SELECT vec_id, label, s, dist, seed_id AS code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, seed_id) AS rn
+      FROM scored
+    ),
+    per_vec AS (
+      SELECT vec_id, label, SUM(dist) AS total_err
+      FROM best WHERE rn = 1 GROUP BY 1, 2
+    ),
+    usage AS (
+      SELECT label, COUNT(DISTINCT (s, code)) AS codes_used
+      FROM best WHERE rn = 1 GROUP BY label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(total_err), 6) AS mean_sq_err,
+           codes_used
+    FROM per_vec JOIN usage USING (label)
+    GROUP BY label, codes_used
 """

@@ -174,6 +174,7 @@ _ORDER = (
     "l53_quality_calibration",
     "l54_split_crossentropy",
     "r28_min_cost_supplier",
+    "l55_product_quantization",
 )
 
 

@@ -976,3 +976,21 @@ def test_r28_one_supplier_per_part(spark, sf_dir):
         .first()["m"]
     )
     assert float(true_min) == float(rows[0]["min_price"])
+
+
+def test_l55_pq_invariants(spark, sf_dir):
+    """PQ audit sanity: vec counts cover the corpus, codebook usage is
+    within the M*K geometry, and reconstruction error is positive
+    (codewords are 16 of 500+ vectors — exact reconstruction would
+    mean a broken distance)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import PQ_K, PQ_M
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l55_product_quantization"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_vecs"] for r in rows) == load(
+        spark, sf_dir, "embeddings"
+    ).count()
+    for r in rows:
+        assert 1 <= r["codes_used"] <= PQ_M * PQ_K
+        assert r["mean_sq_err"] > 0
