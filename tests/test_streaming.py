@@ -788,3 +788,43 @@ def test_poll_source_warns_on_unservable_snapshot(tmp_path):
         _w.simplefilter("always")
         reader.read(off)
     assert not rec
+
+
+def test_snapshot_batch_datasource_parity(spark, tmp_path):
+    """The batch DataSource (backfill path) must produce exactly the
+    union of per-snapshot entity sets the streaming poll source serves
+    one-by-one, with one input partition per file (the parallelism
+    contract), and tolerate a malformed snapshot as entity-null rows."""
+    import json as _json
+
+    from etl_wlg_metlink_spark.pipelines.gtfs_fixture import RAW_JSON
+    from etl_wlg_metlink_spark.sources import snapshot_source
+
+    snap1 = _json.loads(RAW_JSON)
+    snap2 = {"header": snap1["header"], "entity": snap1["entity"][2:]}
+    (tmp_path / "s1.json").write_text(_json.dumps(snap1))
+    (tmp_path / "s2.json").write_text(_json.dumps(snap2))
+    (tmp_path / "s3.json").write_text("{broken")
+
+    rows = snapshot_source.snapshot_entities(spark, str(tmp_path)).collect()
+    by_snap = {}
+    for r in rows:
+        by_snap.setdefault(r["snapshot"], []).append(r)
+    assert set(by_snap) == {"s1.json", "s2.json", "s3.json"}
+    assert len(by_snap["s1.json"]) == len(snap1["entity"])
+    assert len(by_snap["s2.json"]) == len(snap2["entity"])
+    # malformed file: one entity-null row, job still succeeds
+    assert [r["entity"] for r in by_snap["s3.json"]] == [None]
+    # entity ids round-trip
+    got_ids = sorted(
+        r["entity"]["id"] for r in by_snap["s1.json"] if r["entity"]
+    )
+    assert got_ids == sorted(e["id"] for e in snap1["entity"])
+
+    # one input partition per file
+    raw = (
+        spark.read.format("metlink_snapshots")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 3
