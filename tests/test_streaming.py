@@ -828,3 +828,67 @@ def test_snapshot_batch_datasource_parity(spark, tmp_path):
         .load()
     )
     assert raw.rdd.getNumPartitions() == 3
+
+
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """The reference's execution model is scheduled RE-INVOCATION
+    (task.ts:122): every run must resume exactly where the last ended.
+    Engine-side that is checkpointed state: run the stateful per-user
+    tracker with trigger(availableNow) over half the data, STOP, land
+    more files, run again with the same checkpoint — the final state
+    must equal the batch aggregate over everything, proving state-store
+    recovery + exactly-once file-source progress across process-style
+    restarts (not just within one query)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = load(spark, sf_dir, "events")
+    half_a = src.where(F.col("event_id") % 2 == 0)
+    half_b = src.where(F.col("event_id") % 2 == 1)
+    replay = str(tmp_path / "replay")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    half_a.coalesce(2).write.parquet(replay)
+    schema = spark.read.parquet(replay).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        q = (
+            runners.user_track_state_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # invocation 1: half the files
+    half_b.coalesce(2).write.mode("append").parquet(replay)
+    run_once()  # invocation 2: resumes from checkpointed state
+
+    emissions = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+    expected = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias(
+            "total_value"
+        ),
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(final, cols) == _rows(expected, cols)
