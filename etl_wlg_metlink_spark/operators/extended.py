@@ -324,6 +324,32 @@ def x15_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+X16_MIN_PRICE = 100.0  # named parameter fed via spark.sql(args=...)
+
+
+def x16_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`) + parameterized SQL: the linear
+    scan→filter→aggregate→order flow written as a pipeline instead of
+    inside-out nesting, with the filter threshold bound as a NAMED
+    PARAMETER (spark.sql(..., args={...}) — no string interpolation,
+    so a user-supplied threshold can't inject SQL). Pipe stages lower
+    to the identical Catalyst plan as the nested form — surface
+    syntax, same optimizer — which the shared oracle verifies."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_x16")
+    return spark.sql(
+        """
+        FROM orders_x16
+        |> WHERE o_totalprice > :min_price
+        |> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(price) AS DECIMAL(18,2)) AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """,
+        args={"min_price": X16_MIN_PRICE},
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -340,6 +366,7 @@ QUERIES = {
     "x13_variant_json": x13_variant_json,
     "x14_try_functions": x14_try_functions,
     "x15_lateral_topk": x15_lateral_topk,
+    "x16_pipe_syntax": x16_pipe_syntax,
 }
 
 ORACLE = {
@@ -481,3 +508,14 @@ ORACLE = {
         FROM embeddings
     """,
 }
+
+ORACLE["x16_pipe_syntax"] = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    WHERE o_totalprice > {X16_MIN_PRICE}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -175,6 +175,7 @@ _ORDER = (
     "l54_split_crossentropy",
     "r28_min_cost_supplier",
     "l55_product_quantization",
+    "x16_pipe_syntax",
 )
 
 
