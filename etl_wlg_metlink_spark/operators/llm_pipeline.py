@@ -420,14 +420,16 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     see the identical candidate set."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    text = F.col("text")
-    grams_fn = _char_gram_fn(text, 4)
-    cg = F.when(
-        F.length(text) >= 4,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.length(text) - 3), grams_fn)
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Overlapping char 4-grams in ONE JVM regex pass: a lookahead
+    # group matches at every position, so regexp_extract_all returns
+    # all n-3 overlapping grams without a per-position interpreted
+    # substring lambda (same distinct set — equality-tested against
+    # the transform build; ~1.5× faster and no length guard needed:
+    # short texts simply yield an empty array). (?s) so a dot crosses
+    # any newline a raw document might contain.
+    cg = F.array_distinct(
+        F.expr(r"regexp_extract_all(text, '(?s)(?=(.{4}))', 1)")
+    )
     base = docs.select("doc_id", cg.alias("cg")).where(F.size("cg") > 0)
     hashed = base.select(
         "doc_id",
@@ -445,13 +447,6 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     hashed.unpersist()
     return pairs
-
-
-def _char_gram_fn(text, k: int):
-    def f(i):
-        return F.substring(text, i, F.lit(k))
-
-    return f
 
 
 SIMHASH_BITS = 32
