@@ -3069,6 +3069,20 @@ L46_RULES = (
 )
 
 
+def l46_rule_bits(ws) -> dict:
+    """The four rule predicates over a PROJECTED token-array column —
+    the single definition both the batch rule-card (l46) and its
+    streaming twin (s11) build from, so the two can't drift."""
+    ttr, stop_ratio, mean_len, _ = _quality_parts(ws)
+    n = F.size(ws)
+    return {
+        "short": n < 20,
+        "low_ttr": ttr < 0.35,
+        "no_stop": stop_ratio < 0.01,
+        "mean_len": (mean_len < 4.25) | (mean_len > 4.85),
+    }
+
+
 def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style composite filter rule-card: every document gets
     a bitmask of which quality rules it failed, the failure count, and
@@ -3085,14 +3099,7 @@ def l46_quality_rulecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", _words(F.col("text")).alias("ws")
     )
     ws = F.col("ws")  # projected: _quality_parts runs HOFs over it
-    ttr, stop_ratio, mean_len, _ = _quality_parts(ws)
-    n = F.size(ws)
-    bits = {
-        "short": n < 20,
-        "low_ttr": ttr < 0.35,
-        "no_stop": stop_ratio < 0.01,
-        "mean_len": (mean_len < 4.25) | (mean_len > 4.85),
-    }
+    bits = l46_rule_bits(ws)
     mask = sum(
         (F.when(bits[name], bit).otherwise(0) for name, bit in L46_RULES),
         F.lit(0),

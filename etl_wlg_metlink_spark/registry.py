@@ -176,6 +176,7 @@ _ORDER = (
     "r28_min_cost_supplier",
     "l55_product_quantization",
     "x16_pipe_syntax",
+    "s11_stream_quality_gate",
 )
 
 

@@ -275,6 +275,51 @@ def s10_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus quality gate through the driver gate: the
+    documents table replays as 4 deterministic micro-batches (s8's
+    landing-directory staging) and the l46 rule-card bits compose
+    UNCHANGED onto the streaming source — map-only quality expressions
+    are trigger-agnostic, which is Spark's unified-engine contract and
+    exactly how a production ingest gates quality in-flight instead of
+    re-scanning the landed corpus. Keep/drop counts per language
+    accumulate across batches in complete mode; the oracle is the
+    batch rollup of the same shared bit definitions (l46_rule_bits —
+    one definition, two engines, two execution modes).
+
+    Scale shape: per-batch map-only scoring; the only state is the
+    (#langs × 2)-row aggregate."""
+    from functools import reduce
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _words,
+        l46_rule_bits,
+    )
+    from etl_wlg_metlink_spark.streaming import runners
+
+    stage = runners.staged_documents_dir(spark, sf_dir, 4)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    base = stream.select("lang", _words(F.col("text")).alias("ws"))
+    bits = l46_rule_bits(F.col("ws"))
+    any_failed = reduce(lambda a, b: a | b, bits.values())
+    verdict = F.when(~any_failed, "keep").otherwise("drop")
+    agg = (
+        base.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return _run_with_state_partitions(
+        spark,
+        8,
+        lambda: runners.run_available_now(agg, output_mode="complete"),
+    )
+
+
 QUERIES = {
     "s1_tumbling_window": s1_tumbling_window,
     "s2_sliding_window": s2_sliding_window,
@@ -286,6 +331,7 @@ QUERIES = {
     "s8_streaming_ingest_dedup": s8_streaming_ingest_dedup,
     "s9_stream_left_outer_join": s9_stream_left_outer_join,
     "s10_capped_sessions": s10_capped_sessions,
+    "s11_stream_quality_gate": s11_stream_quality_gate,
 }
 
 
@@ -336,6 +382,10 @@ def _s10_oracle() -> str:
         FROM sess
     """
 
+
+# s11's oracle shares the stopword literal with the l46 twin (one
+# definition — the module import is side-effect-free).
+from etl_wlg_metlink_spark.operators.llm_pipeline import _STOP_SQL  # noqa: E402
 
 ORACLE = {
     "s10_capped_sessions": _s10_oracle(),
@@ -444,5 +494,25 @@ ORACLE = {
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         FROM sessions GROUP BY user_id, session_id
+    """,
+    "s11_stream_quality_gate": f"""
+        WITH t AS (
+          SELECT lang, string_split(text, ' ') AS ws FROM documents
+        ), m AS (
+          SELECT lang,
+                 len(ws) AS n,
+                 len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
+                 len(list_filter(ws, w -> w IN ({_STOP_SQL})))::DOUBLE
+                   / len(ws) AS stop_ratio,
+                 list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                   / len(ws) AS mean_len
+          FROM t
+        )
+        SELECT lang,
+               CASE WHEN NOT (n < 20 OR ttr < 0.35 OR stop_ratio < 0.01
+                              OR mean_len < 4.25 OR mean_len > 4.85)
+                    THEN 'keep' ELSE 'drop' END AS verdict,
+               COUNT(*) AS n_docs
+        FROM m GROUP BY 1, 2
     """,
 }

@@ -27,6 +27,7 @@ BNLJ_OK = {
     "l20_unigram_logprob",  # 1-row broadcast corpus-total joined to vocab
     "l30_length_trim",  # 1-row broadcast percentile thresholds onto the corpus
     "l31_length_trim_sketch",  # same shape, sketch-derived threshold row
+    "l54_split_crossentropy",  # 1-row broadcast (N, V) totals cross join
 }
 
 
