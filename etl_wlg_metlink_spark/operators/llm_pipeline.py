@@ -2896,6 +2896,81 @@ def l55_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l56 BM25 shape: standard (k1, b), query docs = doc_id % 101 == 7
+#: (bounded: queries grow ~N/101 but the per-round query SET a
+#: retrieval evaluation uses is small; broadcast), top-K per query.
+L56_K1, L56_B, L56_QMOD, L56_TOPK = 1.2, 0.75, 101, 5
+
+
+def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the lexical half of every RAG /
+    retrieval-augmented pipeline (embeddings recall candidates, BM25
+    re-ranks or hybridizes): a bounded query-document set scores the
+    whole corpus through an inverted-index join and each query keeps
+    its top-K, with the BM25+ idf (ln(1 + (N-df+.5)/(df+.5))) so all
+    contributions are positive.
+
+    Cross-engine determinism: each term's contribution is ROUND(4)ed
+    BEFORE the per-(query, doc) sum — the join aggregation is
+    order-nondeterministic, and raw-double sums could drift across
+    engines at the top-K cut; summing fixed-quantum values keeps the
+    totals orders of magnitude away from any rounding boundary, so
+    rank-on-(rounded score, doc_id) is identical on both engines.
+
+    Scale shape: tf/df/dl are the classic two hash-agg passes with
+    map-side partials; the query-term relation is bounded → broadcast
+    into the postings join (the corpus-side postings never shuffle for
+    it); corpus scalars (N, avgdl) ride a 1-row broadcast cross join;
+    top-K per query windows only the CANDIDATE set (docs sharing ≥ 1
+    query term)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs_total"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        toks.where(F.col("doc_id") % L56_QMOD == 7)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs_total") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (L56_K1 + 1)) / (
+        F.col("tf")
+        + L56_K1
+        * (1 - L56_B + L56_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "w")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tf_part, 4).alias("term_score"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("term_score"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= L56_TOPK)
+        .select("query_id", "rnk", "doc_id", "score")
+    )
+
+
 #: l44 split fractions: cumulative cut points on the unit interval.
 L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
 
@@ -3347,6 +3422,7 @@ QUERIES = {
     "l53_quality_calibration": l53_quality_calibration,
     "l54_split_crossentropy": l54_split_crossentropy,
     "l55_product_quantization": l55_product_quantization,
+    "l56_bm25_retrieval": l56_bm25_retrieval,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -4779,4 +4855,49 @@ ORACLE["l55_product_quantization"] = f"""
            codes_used
     FROM per_vec JOIN usage USING (label)
     GROUP BY label, codes_used
+"""
+
+ORACLE["l56_bm25_retrieval"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ),
+    dfreq AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ),
+    scalars AS (
+      SELECT COUNT(*) AS n_docs_total, AVG(dl) AS avgdl FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, w FROM toks
+      WHERE doc_id % {L56_QMOD} = 7
+    ),
+    contrib AS (
+      SELECT query_id, tf.doc_id AS doc_id,
+             ROUND(
+               ln(1.0 + (n_docs_total - df + 0.5) / (df + 0.5))
+               * (tf * ({L56_K1} + 1))
+               / (tf + {L56_K1} * (1 - {L56_B} + {L56_B} * dl / avgdl)),
+               4) AS term_score
+      FROM qterms
+      JOIN tf USING (w)
+      JOIN dfreq USING (w)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN scalars
+      WHERE tf.doc_id != query_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id, ROUND(SUM(term_score), 4) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, rnk, doc_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {L56_TOPK}
 """

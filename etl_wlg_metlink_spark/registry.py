@@ -177,6 +177,7 @@ _ORDER = (
     "l55_product_quantization",
     "x16_pipe_syntax",
     "s11_stream_quality_gate",
+    "l56_bm25_retrieval",
 )
 
 

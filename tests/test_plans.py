@@ -28,6 +28,7 @@ BNLJ_OK = {
     "l30_length_trim",  # 1-row broadcast percentile thresholds onto the corpus
     "l31_length_trim_sketch",  # same shape, sketch-derived threshold row
     "l54_split_crossentropy",  # 1-row broadcast (N, V) totals cross join
+    "l56_bm25_retrieval",  # 1-row broadcast (N, avgdl) corpus scalars
 }
 
 

@@ -994,3 +994,29 @@ def test_l55_pq_invariants(spark, sf_dir):
     for r in rows:
         assert 1 <= r["codes_used"] <= PQ_M * PQ_K
         assert r["mean_sq_err"] > 0
+
+
+def test_l56_bm25_invariants(spark, sf_dir):
+    """Retrieval discipline: ranks are 1..K per query with scores
+    non-increasing, every query id satisfies the query-set rule,
+    scores are positive (BM25+ idf), and a query never retrieves
+    itself."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L56_QMOD,
+        L56_TOPK,
+    )
+
+    rows = queries()["l56_bm25_retrieval"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] % L56_QMOD == 7
+        assert r["doc_id"] != r["query_id"]
+        assert r["score"] > 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= L56_TOPK
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
