@@ -2917,24 +2917,28 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals orders of magnitude away from any rounding boundary, so
     rank-on-(rounded score, doc_id) is identical on both engines.
 
-    Scale shape: tf/df/dl are the classic two hash-agg passes with
-    map-side partials; the query-term relation is bounded → broadcast
-    into the postings join (the corpus-side postings never shuffle for
-    it); corpus scalars (N, avgdl) ride a 1-row broadcast cross join;
-    top-K per query windows only the CANDIDATE set (docs sharing ≥ 1
-    query term)."""
+    Scale shape: ONE corpus explode builds the (doc, word, tf)
+    postings; document length, document frequency, the query-term
+    relation AND the corpus scalars all DERIVE from it (dl = Σtf per
+    doc — no second explode), so the postings relation is a persisted
+    diamond (columnar cache, released after the bounded top-K result
+    is eagerly checkpointed — the l6/l7 cache discipline). The bounded
+    query-term relation broadcasts into the postings join (corpus
+    postings never shuffle for it); scalars ride a 1-row broadcast
+    cross join; top-K per query windows only the CANDIDATE set (docs
+    sharing ≥ 1 query term)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     scalars = dl.agg(
         F.count("*").alias("n_docs_total"), F.avg("dl").alias("avgdl")
     )
-    qterms = (
-        toks.where(F.col("doc_id") % L56_QMOD == 7)
-        .select(F.col("doc_id").alias("query_id"), "w")
-        .distinct()
+    # (doc_id, w) pairs in tf are distinct by construction
+    qterms = tf.where(F.col("doc_id") % L56_QMOD == 7).select(
+        F.col("doc_id").alias("query_id"), "w"
     )
     idf = F.log(
         F.lit(1.0)
@@ -2964,11 +2968,14 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
-    return (
+    result = (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= L56_TOPK)
         .select("query_id", "rnk", "doc_id", "score")
+        .localCheckpoint(eager=True)  # bounded: queries × K rows
     )
+    tf.unpersist()
+    return result
 
 
 #: l44 split fractions: cumulative cut points on the unit interval.
