@@ -2063,15 +2063,21 @@ def l33_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-multiply dot product. Output exploded to (vec_id, out_dim,
     component) rows so the driver's hash covers every component."""
     emb = load(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    # project the quantized array ONCE: embedded directly, the
+    # transform would re-run per output component (16× per row — the
+    # HOF-closure rule, see _shingles_ws)
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
     )
     comps = F.array(
         *[
             F.aggregate(
                 F.zip_with(
-                    q,
+                    F.col("q"),
                     F.array(*[F.lit(w) for w in row]),
                     lambda a, b: a * b,
                 ),
@@ -2081,7 +2087,7 @@ def l33_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in _l33_proj()
         ]
     )
-    return emb.select(
+    return base.select(
         "vec_id", F.posexplode(comps).alias("out_dim", "component")
     )
 
