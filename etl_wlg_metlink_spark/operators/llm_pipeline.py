@@ -2984,6 +2984,101 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+#: l57 dialogue assembly: turns per rendered conversation (bounded —
+#: SFT samples cap context) drawn from each user's event timeline.
+L57_MAX_TURNS = 6
+
+
+def l57_dialogue_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-example assembly — the step that turns raw interaction logs
+    into instruction-tuning rows: each user's event timeline becomes
+    ONE rendered multi-turn sample (role line per event, first
+    L57_MAX_TURNS turns, deterministic order), fingerprinted for
+    downstream dedup/packing. Content is rendered from integer fields
+    only (event_type#event_id) so both engines produce byte-identical
+    text — float→string formatting is engine-specific and has no
+    place in a fingerprinted template.
+
+    Scale shape: ONE shuffle (groupBy user) with sort_array on the
+    collected struct — per-user arrays are bounded by the turn cap
+    after slice, and collect_list's input is the user's events (a
+    training-log pipeline would pre-bucket by user; the aggregate
+    itself is the standard collect+sort idiom for per-key sequence
+    assembly). Everything after the agg is map-side string math."""
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.col("event_type"),
+                    )
+                )
+            ),
+            1,
+            L57_MAX_TURNS,
+        ).alias("turns")
+    )
+    lines = F.transform(
+        F.col("turns"),
+        lambda t: F.concat_ws(
+            "", t["event_type"], F.lit("#"), t["event_id"].cast("string")
+        ),
+    )
+    return per_user.select(
+        "user_id", F.array_join(lines, "\n").alias("dialogue")
+    ).select(
+        "user_id",
+        F.size(F.split(F.col("dialogue"), "\n")).alias("n_turns"),
+        F.length("dialogue").alias("n_chars"),
+        F.md5("dialogue").alias("dialogue_md5"),
+    )
+
+
+#: l58 FIM/span-corruption geometry: fixed middle-span width in
+#: whitespace tokens; the span start is a deterministic hash of the
+#: doc id (retry-safe, both engines derive it identically).
+L58_SPAN = 4
+L58_MIN_TOKENS = 8
+
+
+def l58_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle / span-corruption splitting — the
+    data-side transform behind FIM code models and T5 span
+    corruption: every long-enough document is cut into
+    (prefix, middle, suffix) at a DETERMINISTIC hash-derived position
+    (rand() would re-draw on task retry — l44's argument), and each
+    piece is fingerprinted so the downstream loss-masking pipeline
+    can verify reassembly (prefix+middle+suffix == original, pinned
+    by test). Map-only: slices and md5s inside one projection, no
+    shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    n = F.size(ws)
+    start = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_fim")))
+        % (n - L58_SPAN - 1)
+        + 2
+    )  # start in [2, n-L58_SPAN]: prefix and suffix both non-empty
+    piece = lambda arr: F.md5(F.array_join(arr, " "))  # noqa: E731
+    return (
+        base.where(n >= L58_MIN_TOKENS)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            start.alias("span_start"),
+            piece(F.slice(ws, 1, start - 1)).alias("prefix_md5"),
+            piece(F.slice(ws, start, L58_SPAN)).alias("middle_md5"),
+            piece(
+                F.slice(ws, start + L58_SPAN, n - start - L58_SPAN + 1)
+            ).alias("suffix_md5"),
+        )
+    )
+
+
 #: l44 split fractions: cumulative cut points on the unit interval.
 L44_CUTS = (("train", 0.90), ("val", 0.95))  # remainder -> test
 
@@ -3436,6 +3531,8 @@ QUERIES = {
     "l54_split_crossentropy": l54_split_crossentropy,
     "l55_product_quantization": l55_product_quantization,
     "l56_bm25_retrieval": l56_bm25_retrieval,
+    "l57_dialogue_pack": l57_dialogue_pack,
+    "l58_fim_spans": l58_fim_spans,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -4913,4 +5010,49 @@ ORACLE["l56_bm25_retrieval"] = f"""
                  ORDER BY score DESC, doc_id) AS rnk
       FROM scored
     ) WHERE rnk <= {L56_TOPK}
+"""
+
+ORACLE["l57_dialogue_pack"] = f"""
+    WITH turns AS (
+      SELECT user_id,
+             (list(struct_pack(ts := ts, event_id := event_id,
+                               event_type := event_type)
+                   ORDER BY ts, event_id, event_type))[1:{L57_MAX_TURNS}]
+               AS turns
+      FROM events GROUP BY user_id
+    ),
+    rendered AS (
+      SELECT user_id,
+             array_to_string(
+               list_transform(turns,
+                 t -> t.event_type || '#' || t.event_id::VARCHAR),
+               chr(10)) AS dialogue
+      FROM turns
+    )
+    SELECT user_id,
+           len(string_split(dialogue, chr(10))) AS n_turns,
+           CAST(length(dialogue) AS INT) AS n_chars,
+           md5(dialogue) AS dialogue_md5
+    FROM rendered
+"""
+
+ORACLE["l58_fim_spans"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             {_duck_md5_int60("doc_id::VARCHAR || '_fim'")}
+               % (len(ws) - {L58_SPAN + 1}) + 2 AS start
+      FROM t WHERE len(ws) >= {L58_MIN_TOKENS}
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(start AS BIGINT) AS span_start,
+           md5(array_to_string(ws[1 : start - 1], ' ')) AS prefix_md5,
+           md5(array_to_string(ws[start : start + {L58_SPAN} - 1], ' '))
+             AS middle_md5,
+           md5(array_to_string(ws[start + {L58_SPAN} : n], ' '))
+             AS suffix_md5
+    FROM pos
 """

@@ -178,6 +178,8 @@ _ORDER = (
     "x16_pipe_syntax",
     "s11_stream_quality_gate",
     "l56_bm25_retrieval",
+    "l57_dialogue_pack",
+    "l58_fim_spans",
 )
 
 

@@ -1020,3 +1020,71 @@ def test_l56_bm25_invariants(spark, sf_dir):
         assert len(rs) <= L56_TOPK
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_l57_dialogue_invariants(spark, sf_dir):
+    """Every user yields one sample; turn count respects the cap and
+    equals the newline count + 1; the fingerprint is stable across
+    re-runs (retry-safety of the assembly)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L57_MAX_TURNS
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l57_dialogue_pack"](spark, sf_dir).collect()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r["n_turns"] <= L57_MAX_TURNS
+    again = queries()["l57_dialogue_pack"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_l58_fim_reassembly(spark, sf_dir):
+    """The three pieces must reassemble to the original document:
+    md5(prefix + ' ' + middle + ' ' + suffix) == md5(text) for every
+    split doc (checked by recomputing the slices engine-side and
+    comparing against md5 of the raw text)."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L58_MIN_TOKENS,
+        L58_SPAN,
+        _md5_int60,
+        _words,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    out = queries()["l58_fim_spans"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.md5("text").alias("orig_md5"), _words(F.col("text")).alias("ws")
+    )
+    ws, n = F.col("ws"), F.size(F.col("ws"))
+    start = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_fim")))
+        % (n - L58_SPAN - 1)
+        + 2
+    )
+    rejoined = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(ws, 1, start - 1), " "),
+            F.array_join(F.slice(ws, start, L58_SPAN), " "),
+            F.array_join(
+                F.slice(ws, start + L58_SPAN, n - start - L58_SPAN + 1), " "
+            ),
+        )
+    )
+    check = (
+        base.where(n >= L58_MIN_TOKENS)
+        .select("doc_id", "orig_md5", rejoined.alias("rejoined_md5"))
+        .join(out, "doc_id")
+    )
+    bad = check.where(F.col("orig_md5") != F.col("rejoined_md5")).count()
+    assert bad == 0
+    assert check.count() == out.count() > 0
+    # suffix is never empty: span_start <= n_tokens - span width
+    assert out.where(
+        F.col("span_start") > F.col("n_tokens") - L58_SPAN
+    ).count() == 0
