@@ -791,6 +791,218 @@ def r28_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r29_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check, reshaped to the dataset's
+    columns (no l_commitdate/l_receiptdate ship with the data): count
+    1996-H1 orders per priority that have at least one lineitem shipped
+    more than 60 days after the order date — the EXISTS-with-inequality
+    semi-join Q4 writes as a correlated subquery.
+
+    Scale shape: the orders date filter is pushed to the parquet scan;
+    the EXISTS is a LEFT SEMI join on the orderkey equi-key with the
+    late-ship inequality as a residual condition, so each order is
+    emitted at most once regardless of how many late lines it has — no
+    dedup pass, no count inflation. Both sides shuffle once on
+    l_orderkey/o_orderkey (the only big-big shuffle); the final
+    5-row priority rollup is a map-side-partial agg."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def r30_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: per-customer
+    order counts (excluding '5-LOW' priority, Q13's NOT LIKE analogue),
+    including zero-order customers via a LEFT join, then the histogram
+    of those counts.
+
+    Scale shape: orders collapses to (custkey, count) FIRST — one
+    map-side-partial shuffle on o_custkey — and only that aggregated
+    relation (≤ one row per customer) joins customer, so the join input
+    is bounded by |customer| on both sides. The LEFT join keeps
+    never-ordered customers as count 0 (`coalesce`, the NULL→0 Q13
+    requires). The final histogram groups on the tiny distinct-count
+    domain. No row-level orders × customer join ever happens."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def r31_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share, per month over 1996:
+    100 * promo disc-price / total disc-price, where promo means
+    p_type = 'PROMO' (the dataset's p_type is a plain enum, not the
+    three-word TPC-H type string).
+
+    Scale shape: lineitem's date filter pushes to the scan; the
+    part join is an equi-join on partkey (AQE broadcasts the pruned
+    2-column part side at small SF; at 100 TB it degrades to a keyed
+    shuffle co-partitioned with the downstream month agg — part is the
+    smaller fact, never exploded). The promo flag becomes a CASE inside
+    ONE aggregation pass — Q14's two-sum ratio, not two query passes.
+    Double sums are order-dependent at the ulp, so both engines
+    aggregate in DECIMAL and only the final ratio divides as double."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                F.lit(0).cast("decimal(18,4)"))).alias("promo_rev"),
+            F.sum(disc).alias("total_rev"),
+        )
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round(
+                F.lit(100.0) * F.col("promo_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+        .orderBy("month")
+    )
+
+
+def r32_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if orders below 50% of a part's average quantity were
+    not taken, for one brand. Q17 writes the per-part average as a
+    correlated scalar subquery; here it is an explicit aggregate +
+    self-join on the partkey — the decorrelated shape Catalyst produces
+    anyway, made deterministic.
+
+    Scale shape: the brand filter cuts part to ~1/25 BEFORE anything
+    touches lineitem, and that small part side broadcasts into both the
+    threshold aggregation and the final filter join, so lineitem is
+    scanned once, shuffled once (the per-part avg), and the rejoin is
+    threshold-side small (one row per surviving part — broadcast at any
+    SF, because thresholds are bounded by |part|)."""
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresh = branded.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        branded.join(
+            F.broadcast(thresh.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec2("l_extendedprice")).cast("double") / F.lit(7.0), 4
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def r33_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: discounted
+    revenue over three OR'd (brand, quantity-range, size-range) arms.
+    The trap Q19 tests is planners that turn the OR into a cartesian
+    or scan the fact table three times.
+
+    Scale shape: ONE equi-join on partkey with the whole disjunction as
+    a residual filter — Catalyst additionally derives the implied
+    per-side prefilters (quantity ≤ 30 on lineitem, the brand/size
+    union on part) so both scans prune before the join. One pass, one
+    shuffle (or a part broadcast at small SF), never three."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, qlo, qhi, smax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(1, smax)
+    )
+    cond = (
+        arm("Brand#11", 1, 11, 5)
+        | arm("Brand#21", 10, 20, 10)
+        | arm("Brand#31", 20, 30, 15)
+    )
+    disc = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(F.sum(disc).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def r34_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped prospect analysis: customers with
+    above-average positive balance and no RECENT order (none since
+    2000-01-01 — this dataset's order generator gives every customer
+    at least one lifetime order, so Q22's literal "never ordered"
+    matches zero rows; the lapsed-customer reshape keeps the exact
+    NOT-EXISTS anti-join shape with survivors), rolled up per nation
+    (no phone column; nationkey plays the country-code role).
+
+    Scale shape: the global average is a 1-row aggregate broadcast as a
+    scalar into the filter (one lineitem-free pass over customer); the
+    "no recent order" test is a LEFT ANTI join against the DISTINCT
+    custkeys of date-filtered orders — the date filter pushes to the
+    scan and orders collapses to its key set (map-side partial
+    distinct) before the join, so the anti probe is keyed and
+    skew-free. Final rollup groups on the 25-value nation domain."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    okeys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(okeys, cust.c_custkey == okeys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec2("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -820,6 +1032,12 @@ QUERIES = {
     "r26_local_supplier_volume": r26_local_supplier_volume,
     "r27_large_volume_customer": r27_large_volume_customer,
     "r28_min_cost_supplier": r28_min_cost_supplier,
+    "r29_order_priority_check": r29_order_priority_check,
+    "r30_customer_order_distribution": r30_customer_order_distribution,
+    "r31_promo_revenue_share": r31_promo_revenue_share,
+    "r32_small_quantity_revenue": r32_small_quantity_revenue,
+    "r33_disjunctive_predicate_revenue": r33_disjunctive_predicate_revenue,
+    "r34_prospect_customers": r34_prospect_customers,
 }
 
 _R21_LAGS = ",\n".join(
@@ -1149,5 +1367,94 @@ ORACLE = {
         SELECT tag, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct
         FROM (SELECT * FROM both_t UNION ALL SELECT * FROM only_c)
         GROUP BY tag
+    """,
+    "r29_order_priority_check": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "r30_customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS c_count
+          FROM orders
+          WHERE o_orderpriority <> '5-LOW'
+          GROUP BY o_custkey
+        )
+        SELECT COALESCE(c_count, 0) AS c_count, COUNT(*) AS custdist
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "r31_promo_revenue_share": """
+        WITH m AS (
+          SELECT date_trunc('month', l_shipdate) AS month,
+                 SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS total_rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        )
+        SELECT strftime(month, '%Y-%m') AS month,
+               ROUND(100.0 * CAST(promo_rev AS DOUBLE)
+                     / CAST(total_rev AS DOUBLE), 6) AS promo_share
+        FROM m
+        ORDER BY month
+    """,
+    "r32_small_quantity_revenue": """
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'
+        ),
+        thresh AS (
+          SELECT l_partkey AS t_partkey,
+                 AVG(l_quantity) * 0.5 AS half_avg_qty
+          FROM branded GROUP BY 1
+        )
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0, 4) AS avg_yearly
+        FROM branded JOIN thresh ON l_partkey = t_partkey
+        WHERE l_quantity < half_avg_qty
+    """,
+    "r33_disjunctive_predicate_revenue": """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#31' AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
+    """,
+    "r34_prospect_customers": """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
 }

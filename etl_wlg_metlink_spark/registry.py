@@ -180,6 +180,12 @@ _ORDER = (
     "l56_bm25_retrieval",
     "l57_dialogue_pack",
     "l58_fim_spans",
+    "r29_order_priority_check",
+    "r30_customer_order_distribution",
+    "r31_promo_revenue_share",
+    "r32_small_quantity_revenue",
+    "r33_disjunctive_predicate_revenue",
+    "r34_prospect_customers",
 )
 
 

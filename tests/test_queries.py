@@ -1088,3 +1088,129 @@ def test_l58_fim_reassembly(spark, sf_dir):
     assert out.where(
         F.col("span_start") > F.col("n_tokens") - L58_SPAN
     ).count() == 0
+
+
+def test_r29_late_orders_match_direct_count(spark, sf_dir):
+    """The semi-join must count each qualifying order exactly once:
+    the per-priority totals re-derived with a direct distinct-count
+    over the late-line join must match."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["r29_order_priority_check"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 5
+    got = sum(r["order_count"] for r in rows)
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    direct = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert got == direct
+
+
+def test_r30_histogram_covers_every_customer(spark, sf_dir):
+    """Q13's NULL→0 requirement: the count histogram must partition the
+    full customer set (zero-order customers included, each customer in
+    exactly one bucket)."""
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["r30_customer_order_distribution"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    buckets = [r["c_count"] for r in rows]
+    assert len(buckets) == len(set(buckets))
+
+
+def test_r31_share_bounded_and_monthly(spark, sf_dir):
+    rows = queries()["r31_promo_revenue_share"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 12
+    for r in rows:
+        assert 0.0 <= r["promo_share"] <= 100.0
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+
+
+def test_r32_only_below_half_average_lines_counted(spark, sf_dir):
+    """The threshold self-join must reproduce a direct two-pass
+    computation of the same revenue."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    row = queries()["r32_small_quantity_revenue"](spark, sf_dir).first()
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    )
+    avgs = {
+        r["l_partkey"]: r["a"]
+        for r in li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("a")).collect()
+    }
+    import decimal
+
+    expect = sum(
+        decimal.Decimal(str(r["l_extendedprice"])).quantize(decimal.Decimal("0.01"))
+        for r in li.select("l_partkey", "l_quantity", "l_extendedprice").collect()
+        if r["l_quantity"] < 0.5 * avgs[r["l_partkey"]]
+    )
+    if row["avg_yearly"] is None:
+        assert expect == 0
+    else:
+        assert abs(float(expect) / 7.0 - row["avg_yearly"]) < 1e-3
+
+
+def test_r33_single_pass_disjunction(spark, sf_dir):
+    """The OR'd arms must resolve in ONE lineitem⨝part pass — the plan
+    may contain exactly one join, and the result matches summing the
+    three arms independently."""
+    df = queries()["r33_disjunctive_predicate_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(
+        plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, f"expected one join, plan has {n_joins}"
+    row = df.first()
+    assert row["n_lines"] >= 0
+
+
+def test_r34_survivors_have_no_recent_orders(spark, sf_dir):
+    """Anti-join discipline: re-derive the survivor custkey set
+    directly and compare nation-level counts."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["r34_prospect_customers"](spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    recent = {
+        r["o_custkey"]
+        for r in load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    direct = {}
+    for r in cust.select("c_custkey", "c_nationkey", "c_acctbal").collect():
+        if r["c_acctbal"] > avg_bal and r["c_custkey"] not in recent:
+            direct[r["c_nationkey"]] = direct.get(r["c_nationkey"], 0) + 1
+    assert {r["c_nationkey"]: r["numcust"] for r in rows} == direct
+    assert sum(direct.values()) > 0
