@@ -5056,3 +5056,631 @@ ORACLE["l58_fim_spans"] = f"""
              AS suffix_md5
     FROM pos
 """
+
+
+# --------------------------------------------------------------------------
+# l59 hybrid retrieval / l60 weighted sampling / l61 domain similarity /
+# l62 memorization audit / l63 char entropy (round 6 tail 2)
+# --------------------------------------------------------------------------
+
+#: l59 fusion constants: the canonical RRF k=60 (Cormack et al.'s
+#: reciprocal-rank-fusion constant) and the per-query result budget.
+L59_RRF_K = 60
+L59_TOPK = 5
+
+
+def l59_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion — the standard
+    two-retriever merge (RAG stacks fuse a lexical ranking with a
+    vector ranking; rank-based fusion needs no score calibration
+    between the two): BM25 (l56's scorer) and TF-IDF cosine rank the
+    same candidate set, and each (query, doc) gets
+    rrf = 1/(k+rank_bm25) + 1/(k+rank_cos), top-K per query.
+
+    Both scorers share ONE candidate generation (docs sharing >= 1
+    query term), so both ranks exist for every candidate — no
+    missing-rank imputation.
+
+    Cross-engine determinism: per-term contributions are ROUND(4)ed
+    before the order-nondeterministic sum (l56's discipline); ranks
+    order on the ROUNDED score with doc_id tie-break, and the fused
+    key is a pure function of the two integer ranks.
+
+    Scale shape: everything derives from one corpus explode — tf is
+    the persisted diamond feeding dl/df/norms/scalars/query terms (the
+    l56 lineage plus one norm aggregation); the bounded query-term
+    relation broadcasts into the postings join; both rank windows
+    partition by query over the CANDIDATE set only; the fused top-K is
+    queries x K rows, eagerly checkpointed so the diamond cache is
+    released before return."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs_total"), F.avg("dl").alias("avgdl")
+    )
+    # tf-idf weight per posting (ln(N/df) idf; BM25 uses its own +0.5
+    # smoothed idf below) and the per-doc L2 norm over ALL its terms
+    idf2 = F.log(F.col("n_docs_total") / F.col("df"))
+    wgt = F.round(F.col("tf") * idf2, 4)
+    weighted = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "w", "tf", F.col("df").alias("df_w"), wgt.alias("wgt"))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.round(F.col("wgt") * F.col("wgt"), 4))).alias("norm")
+    )
+    qterms = weighted.where(F.col("doc_id") % L56_QMOD == 7).select(
+        F.col("doc_id").alias("query_id"),
+        "w",
+        F.col("wgt").alias("q_wgt"),
+    )
+    idf_bm25 = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs_total") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (L56_K1 + 1)) / (
+        F.col("tf")
+        + L56_K1 * (1 - L56_B + L56_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "w")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf_bm25 * tf_part, 4).alias("bm25_term"),
+            F.round(F.col("q_wgt") * F.round(F.col("tf") * F.log(
+                F.col("n_docs_total") / F.col("df")), 4), 4).alias("dot_term"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("bm25_term"), 4).alias("bm25"),
+        F.round(F.sum("dot_term"), 4).alias("dot"),
+    )
+    q_norms = F.broadcast(
+        norms.withColumnRenamed("doc_id", "query_id").withColumnRenamed(
+            "norm", "q_norm"
+        ).join(qterms.select("query_id").distinct(), "query_id")
+    )
+    both = (
+        scored.join(norms, "doc_id")
+        .join(q_norms, "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25",
+            F.round(F.col("dot") / (F.col("norm") * F.col("q_norm")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    fused = both.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_b).alias("rank_bm25"),
+        F.row_number().over(w_c).alias("rank_cos"),
+    ).select(
+        "query_id",
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        F.round(
+            1.0 / (L59_RRF_K + F.col("rank_bm25"))
+            + 1.0 / (L59_RRF_K + F.col("rank_cos")),
+            6,
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    result = (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .where(F.col("rnk") <= L59_TOPK)
+        .select("query_id", "rnk", "doc_id", "rank_bm25", "rank_cos", "rrf")
+        .localCheckpoint(eager=True)  # bounded: queries x K rows
+    )
+    tf.unpersist()
+    return result
+
+
+#: l60 sample size; weights are n_chars (longer docs proportionally
+#: more likely — the "sample by token budget" weighting).
+L60_N = 25
+
+
+def l60_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential-clock trick: each doc draws u ~ U(0,1) and
+    keys on -ln(u)/w; the N smallest keys ARE a weighted sample
+    without replacement (the first N arrivals of independent
+    exponential clocks with rates w). One pass, no rejection loop, no
+    sequential state — THE distributed form of weighted reservoir
+    sampling.
+
+    u is md5-derived from doc_id (deterministic: Spark's rand()
+    re-draws on task retry, so a rand() sample can differ between two
+    attempts of the same stage — the l44 argument, applied to
+    sampling). u is a rational m/1000001 with m >= 1, so u is never 0
+    and ln(u) is finite on both engines.
+
+    Scale shape: map-only key computation + TakeOrderedAndProject for
+    the global N smallest (per-partition top-N then a driver merge of
+    partition heads — no global sort, no shuffle of the corpus)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        _md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_aes")))
+        % 1000000
+        + 1
+    ) / 1000001.0
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(L60_N)
+    )
+
+
+def l61_domain_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level similarity matrix: per-source MinHash UNION
+    signatures (the elementwise min over every doc's shingle hashes —
+    a mergeable sketch, which is the point: per-partition partial mins
+    combine associatively, so the signature of a 100 TB domain costs
+    one map-side-combined agg) against the exact pairwise Jaccard as
+    ground truth. Corpus curation uses this to find near-redundant
+    SOURCES (two crawls of the same site) before any doc-level dedup.
+
+    Hash family note: l6's cheap linear permutations ((a*h+b) mod p
+    with small a) are fine for LSH banding but are NOT min-wise
+    independent — over a domain-sized set the smallest raw-h elements
+    never wrap, so every "permutation" shares its argmin and the
+    collision rate no longer estimates J (observed: est 0.6 vs exact
+    0.03). An ESTIMATOR needs per-perm independent hashes, so each of
+    the 8 signature slots hashes md5(seed|shingle) — 8 md5s per
+    distinct (source, shingle), affordable because the relation is
+    already deduped.
+
+    Scale shape: the signature agg collapses to n_sources x 8 values
+    with map-side partial mins; exact intersection is ONE
+    shingle-keyed self-join of the per-source distinct-shingle
+    relation (skew-bounded: a shingle contributes at most n_sources^2
+    pairs); source pair count is n_sources choose 2 — tiny output.
+    8 perms give +-1/8 estimate resolution; the test pins
+    |est - exact| <= 3/8."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.col("ws")
+    sh = (
+        docs.select("source", _words(F.col("text")).alias("ws"))
+        .where(F.size(ws) >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    hashed = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min(
+                _md5_int60(F.concat(F.lit(f"{s}|"), F.col("s")))
+                % MERSENNE_P
+            ).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ],
+        F.count("*").alias("n_shingles"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    est = F.round(
+        sum(
+            F.when(
+                F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1
+            ).otherwise(0)
+            for s in range(N_MINHASH)
+        )
+        / float(N_MINHASH),
+        4,
+    )
+    pairs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            est.alias("est_jaccard"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+    )
+    inter = (
+        hashed.select("source", "s")
+        .alias("x")
+        .join(
+            hashed.select("source", "s").alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    result = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias(
+                "exact_jaccard"
+            ),
+            "n_inter",
+            "n_union",
+        )
+        .localCheckpoint(eager=True)  # bounded: n_sources choose 2 rows
+    )
+    hashed.unpersist()
+    return result
+
+
+def l62_ngram_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split n-gram memorization audit: for every TEST-split
+    document (l44's deterministic hash split), the fraction of its
+    L43_W-token windows that appear verbatim anywhere in the TRAIN
+    split — the window-level leakage signal eval-integrity checks cut
+    on (l50 catches near-dup DOCUMENT pairs across splits; this
+    catches a test doc whose sentences were memorized piecemeal from
+    many train docs, which no document-level pairing sees).
+
+    Scale shape: both sides fingerprint windows map-side (the l43
+    lineage); the train side collapses to DISTINCT fps (map-side
+    partial distinct), and the membership test is one fp-keyed LEFT
+    join — the test side is ~5% of the corpus by construction, so the
+    join's probe side is small and the build side is a key set, never
+    full text. Per-doc rollup is one shuffle on the test doc ids."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select(
+        "doc_id",
+        _hash_split_col(F.col("doc_id")).alias("split"),
+        _words(F.col("text")).alias("ws"),
+    ).where(F.size("ws") >= L43_W)
+    ws = F.col("ws")
+    wins = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (L43_W - 1)),
+                lambda i: _md5_int60(
+                    F.concat_ws(" ", F.slice(ws, i, L43_W))
+                ),
+            )
+        ).alias("fp"),
+    )
+    train_fps = (
+        wins.where(F.col("split") == "train").select("fp").distinct()
+    )
+    test_wins = wins.where(F.col("split") == "test")
+    return (
+        test_wins.join(
+            train_fps.withColumn("hit", F.lit(1)), "fp", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_memorized"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_memorized",
+            F.round(F.col("n_memorized") / F.col("n_windows"), 6).alias(
+                "mem_rate"
+            ),
+        )
+    )
+
+
+#: l63 gate: natural prose has char entropy ~4 bits; below this is
+#: repetition/gibberish territory.
+L63_MIN_ENTROPY = 3.0
+
+
+def l63_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    cheap gibberish/repetition gate (aaaa... has entropy ~0; natural
+    English sits near 4 bits/char; base64 blobs overshoot 5.5):
+    H = -sum p_c log2 p_c over the doc's character distribution, with
+    a low-entropy flag at L63_MIN_ENTROPY bits.
+
+    Cross-engine determinism: each character's -p log2 p term is
+    ROUND(8)ed before the order-nondeterministic per-doc sum, and the
+    final entropy ROUND(6)s the sum (the l56 fixed-quantum argument).
+
+    Scale shape: the char explode is linear in corpus bytes (the same
+    lineage class as every token explode) and collapses immediately to
+    (doc, char) counts with map-side partials — the alphabet bounds
+    distinct chars per doc, so the post-explode relation is tiny; the
+    per-doc total derives from the SAME counts relation (no second
+    pass); final rollup is one doc-keyed shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct_chars")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_chars_counted"),
+            F.first("n_distinct_chars").alias("n_distinct_chars"),
+            # no per-term rounding: per-term ROUND(8) parks values ON
+            # quantum boundaries where the engines' rounding of 1-ulp-
+            # different log2 inputs disagrees; an unrounded double sum
+            # differs across engines only at ~1e-13 relative, which a
+            # final ROUND(4) absorbs (the l20 discipline)
+            F.round(F.sum(-p * F.log2(p)), 4).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars_counted").cast("long").alias("n_chars_counted"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            "entropy",
+            (F.col("entropy") < L63_MIN_ENTROPY).alias("low_entropy"),
+        )
+    )
+
+
+QUERIES["l59_rrf_hybrid"] = l59_rrf_hybrid
+QUERIES["l60_weighted_sample"] = l60_weighted_sample
+QUERIES["l61_domain_jaccard"] = l61_domain_jaccard
+QUERIES["l62_ngram_memorization"] = l62_ngram_memorization
+QUERIES["l63_char_entropy"] = l63_char_entropy
+
+
+ORACLE["l59_rrf_hybrid"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ),
+    dfreq AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ),
+    scalars AS (
+      SELECT COUNT(*) AS n_docs_total, AVG(dl) AS avgdl FROM dl
+    ),
+    weighted AS (
+      SELECT doc_id, w, tf, df,
+             ROUND(tf * ln(n_docs_total / df), 4) AS wgt
+      FROM tf JOIN dfreq USING (w) CROSS JOIN scalars
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(ROUND(wgt * wgt, 4))) AS norm
+      FROM weighted GROUP BY 1
+    ),
+    qterms AS (
+      SELECT doc_id AS query_id, w, wgt AS q_wgt
+      FROM weighted WHERE doc_id % {L56_QMOD} = 7
+    ),
+    contrib AS (
+      SELECT query_id, tf.doc_id AS doc_id,
+             ROUND(
+               ln(1.0 + (n_docs_total - df + 0.5) / (df + 0.5))
+               * (tf * ({L56_K1} + 1))
+               / (tf + {L56_K1} * (1 - {L56_B} + {L56_B} * dl / avgdl)),
+               4) AS bm25_term,
+             ROUND(q_wgt * ROUND(tf * ln(n_docs_total / df), 4), 4)
+               AS dot_term
+      FROM qterms
+      JOIN tf USING (w)
+      JOIN dfreq USING (w)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN scalars
+      WHERE tf.doc_id != query_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(bm25_term), 4) AS bm25,
+             ROUND(SUM(dot_term), 4) AS dot
+      FROM contrib GROUP BY 1, 2
+    ),
+    both_s AS (
+      SELECT query_id, s.doc_id AS doc_id, bm25,
+             ROUND(dot / (nd.norm * nq.norm), 6) AS cos
+      FROM scored s
+      JOIN norms nd ON nd.doc_id = s.doc_id
+      JOIN norms nq ON nq.doc_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rank_bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, doc_id) AS rank_cos
+      FROM both_s
+    ),
+    fused AS (
+      SELECT query_id, doc_id, rank_bm25, rank_cos,
+             ROUND(1.0 / ({L59_RRF_K} + rank_bm25)
+                   + 1.0 / ({L59_RRF_K} + rank_cos), 6) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, rnk, doc_id, rank_bm25, rank_cos, rrf FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {L59_TOPK}
+"""
+
+ORACLE["l60_weighted_sample"] = f"""
+    SELECT doc_id, source, n_chars,
+           ROUND(
+             -ln(((CAST('0x' || substr(md5(doc_id::VARCHAR || '_aes'),
+                        1, 15) AS BIGINT) % 1000000) + 1) / 1000001.0)
+             / n_chars, 9) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key, doc_id
+    LIMIT {L60_N}
+"""
+
+_L61_MH_SQL = ",\n".join(
+    "           MIN(" + _duck_md5_int60(f"'{s}|' || s")
+    + f" % {MERSENNE_P}) AS mh{s}"
+    for s in range(N_MINHASH)
+)
+_L61_EST_SQL = " + ".join(
+    f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)"
+    for s in range(N_MINHASH)
+)
+
+ORACLE["l61_domain_jaccard"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source,
+               unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(
+                 list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [] END) AS s
+        FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT source,
+{_L61_MH_SQL},
+           COUNT(*) AS n_shingles
+      FROM sh GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             ROUND(({_L61_EST_SQL}) / {float(N_MINHASH)}, 4) AS est_jaccard,
+             a.n_shingles AS n_a, b.n_shingles AS n_b
+      FROM sig a JOIN sig b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+      FROM sh x JOIN sh y
+        ON x.s = y.s AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, est_jaccard,
+           ROUND(COALESCE(n_inter, 0)
+                 / (n_a + n_b - COALESCE(n_inter, 0)), 6) AS exact_jaccard,
+           CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(n_a + n_b - COALESCE(n_inter, 0) AS BIGINT) AS n_union
+    FROM pairs LEFT JOIN inter USING (src_a, src_b)
+"""
+
+ORACLE["l62_ngram_memorization"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN u < 0.9 THEN 'train'
+                  WHEN u < 0.95 THEN 'val'
+                  ELSE 'test' END AS split,
+             ws
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               (CAST('0x' || substr(md5(doc_id::VARCHAR || '_l44'), 1, 15)
+                     AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM documents
+      )
+      WHERE len(ws) >= {L43_W}
+    ),
+    pos AS (
+      SELECT doc_id, split, ws, unnest(range(1, len(ws) - {L43_W - 2}))
+               AS i
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id, split,
+             {_duck_md5_int60(_L43_WIN_SQL)} AS fp
+      FROM pos
+    ),
+    train_fps AS (
+      SELECT DISTINCT fp FROM wins WHERE split = 'train'
+    ),
+    test_wins AS (
+      SELECT w.doc_id, CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END AS hit
+      FROM wins w LEFT JOIN train_fps t USING (fp)
+      WHERE w.split = 'test'
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(hit) AS BIGINT) AS n_memorized,
+           ROUND(SUM(hit) / COUNT(*), 6) AS mem_rate
+    FROM test_wins GROUP BY doc_id
+"""
+
+ORACLE["l63_char_entropy"] = f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM counts GROUP BY 1
+    ),
+    ent AS (
+      SELECT counts.doc_id AS doc_id,
+             CAST(n AS BIGINT) AS n_chars_counted,
+             CAST(nd AS BIGINT) AS n_distinct_chars,
+             ROUND(SUM(-(c / n) * log2(c / n)), 4) AS entropy
+      FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars, entropy,
+           entropy < {L63_MIN_ENTROPY} AS low_entropy
+    FROM ent
+"""

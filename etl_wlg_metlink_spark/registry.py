@@ -186,6 +186,11 @@ _ORDER = (
     "r32_small_quantity_revenue",
     "r33_disjunctive_predicate_revenue",
     "r34_prospect_customers",
+    "l59_rrf_hybrid",
+    "l60_weighted_sample",
+    "l61_domain_jaccard",
+    "l62_ngram_memorization",
+    "l63_char_entropy",
 )
 
 

@@ -1214,3 +1214,95 @@ def test_r34_survivors_have_no_recent_orders(spark, sf_dir):
             direct[r["c_nationkey"]] = direct.get(r["c_nationkey"], 0) + 1
     assert {r["c_nationkey"]: r["numcust"] for r in rows} == direct
     assert sum(direct.values()) > 0
+
+
+def test_l59_rrf_consistent_with_ranks(spark, sf_dir):
+    """RRF discipline: per query the returned rows are rnk 1..K with
+    non-increasing fused scores, and every rrf value is exactly the
+    reciprocal-rank formula applied to the two integer ranks."""
+    rows = queries()["l59_rrf_hybrid"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        expect = round(1.0 / (60 + r["rank_bm25"]) + 1.0 / (60 + r["rank_cos"]), 6)
+        assert abs(r["rrf"] - expect) < 1e-9
+        assert r["rank_bm25"] >= 1 and r["rank_cos"] >= 1
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_l60_key_formula_and_weighting(spark, sf_dir):
+    """The sample keys must match a host-side recomputation of the
+    Efraimidis-Spirakis key for the selected docs, and be the global
+    minimum keys (spot-check: no unselected doc has a smaller key)."""
+    import hashlib
+    import math
+
+    rows = queries()["l60_weighted_sample"](spark, sf_dir).collect()
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L60_N
+
+    assert len(rows) == L60_N
+    keys = [r["sample_key"] for r in rows]
+    assert keys == sorted(keys)
+
+    def key_of(doc_id, n_chars):
+        h = int(hashlib.md5(f"{doc_id}_aes".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 1) / 1000001.0
+        return round(-math.log(u) / n_chars, 9)
+
+    for r in rows:
+        assert abs(key_of(r["doc_id"], r["n_chars"]) - r["sample_key"]) < 1e-9
+
+
+def test_l61_estimate_tracks_exact(spark, sf_dir):
+    """Sketch contract: the 8-perm MinHash estimate is within 2/8 of
+    the exact Jaccard for every source pair, and set algebra holds."""
+    rows = queries()["l61_domain_jaccard"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["n_inter"] <= r["n_union"]
+        assert abs(r["est_jaccard"] - r["exact_jaccard"]) <= 0.375 + 1e-9
+        assert r["src_a"] < r["src_b"]
+
+
+def test_l62_only_test_docs_and_bounded_rates(spark, sf_dir):
+    import hashlib
+
+    rows = queries()["l62_ngram_memorization"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['doc_id']}_l44".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 1000000) / 1000000.0
+        assert u >= 0.95, "non-test doc in the memorization audit"
+        assert 0 <= r["n_memorized"] <= r["n_windows"]
+        assert abs(r["mem_rate"] - round(r["n_memorized"] / r["n_windows"], 6)) < 1e-9
+
+
+def test_l63_entropy_bounds_and_recompute(spark, sf_dir):
+    """Entropy is within [0, log2(alphabet)] and matches a host-side
+    recomputation for the first document."""
+    import collections
+    import math
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l63_char_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log2(r["n_distinct_chars"]) + 1e-6
+        assert r["low_entropy"] == (r["entropy"] < 3.0)
+    doc = load(spark, sf_dir, "documents").orderBy("doc_id").first()
+    counts = collections.Counter(doc["text"])
+    n = sum(counts.values())
+    expect = round(sum(-(c / n) * math.log2(c / n) for c in counts.values()), 4)
+    got = next(r for r in rows if r["doc_id"] == doc["doc_id"])
+    assert abs(got["entropy"] - expect) < 1e-6
+    assert got["n_chars_counted"] == n
