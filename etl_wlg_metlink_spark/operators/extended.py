@@ -350,6 +350,51 @@ def x16_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+X17_LOW, X17_MID = 20000.0, 45000.0
+
+
+def x17_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr): the discounted-price formula and a price-band
+    classifier declared ONCE as catalog-level SQL UDFs and reused by
+    name. Unlike Python UDFs these are not black boxes — Catalyst
+    inlines the body at analysis time, so the query plans (and
+    optimizes: codegen, pushdown, constant folding) exactly as if the
+    expressions were written inline, which the expanded-SQL oracle
+    verifies. This is the right home for shared business formulas at
+    scale: one definition, zero serialization cost, full optimizer
+    visibility."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_x17")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION x17_disc_price(
+            p DOUBLE, d DOUBLE) RETURNS DECIMAL(18,4)
+        RETURN CAST(CAST(p AS DECIMAL(18,2))
+                    * (1 - CAST(d AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION x17_price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < {X17_LOW} THEN 'low'
+                    WHEN p < {X17_MID} THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT x17_price_band(l_extendedprice) AS band,
+               COUNT(*) AS n_lines,
+               CAST(SUM(x17_disc_price(l_extendedprice, l_discount))
+                    AS DECIMAL(18,4)) AS revenue
+        FROM lineitem_x17
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -367,6 +412,7 @@ QUERIES = {
     "x14_try_functions": x14_try_functions,
     "x15_lateral_topk": x15_lateral_topk,
     "x16_pipe_syntax": x16_pipe_syntax,
+    "x17_sql_udf": x17_sql_udf,
 }
 
 ORACLE = {
@@ -518,4 +564,18 @@ ORACLE["x16_pipe_syntax"] = f"""
     WHERE o_totalprice > {X16_MIN_PRICE}
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
+"""
+
+
+ORACLE["x17_sql_udf"] = f"""
+    SELECT CASE WHEN l_extendedprice < {X17_LOW} THEN 'low'
+                WHEN l_extendedprice < {X17_MID} THEN 'mid'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+    FROM lineitem
+    GROUP BY band
+    ORDER BY band
 """

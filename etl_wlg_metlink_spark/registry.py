@@ -191,6 +191,8 @@ _ORDER = (
     "l61_domain_jaccard",
     "l62_ngram_memorization",
     "l63_char_entropy",
+    "s12_trending_topk",
+    "x17_sql_udf",
 )
 
 

@@ -516,3 +516,36 @@ ORACLE = {
         FROM m GROUP BY 1, 2
     """,
 }
+
+
+def s12_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending top-k per hour — update-mode watermarked
+    window counts upserted into a keyed storage ledger by foreachBatch
+    across 4 ts-ordered micro-batches, compacted last-write-wins and
+    ranked per window on the serving read (runners.trending_topk_run;
+    the two-phase streaming top-k every live dashboard runs). The
+    oracle is the equivalent batch rank over the full table — exact
+    because the ts-range staging admits zero late drops (see
+    staged_events_dir)."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.trending_topk_run(spark, sf_dir)
+    )
+
+
+QUERIES["s12_trending_topk"] = s12_trending_topk
+
+ORACLE["s12_trending_topk"] = """
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, rnk, event_type, n, sum_value FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                 ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+"""

@@ -1306,3 +1306,19 @@ def test_l63_entropy_bounds_and_recompute(spark, sf_dir):
     got = next(r for r in rows if r["doc_id"] == doc["doc_id"])
     assert abs(got["entropy"] - expect) < 1e-6
     assert got["n_chars_counted"] == n
+
+
+def test_x17_sql_udf_inlines_into_plan(spark, sf_dir):
+    """SQL UDFs must expand at analysis time: the executed plan
+    contains no Python evaluation node and stays in whole-stage
+    codegen; band totals cover every lineitem row exactly once."""
+    from etl_wlg_metlink_spark.tables import load
+
+    df = queries()["x17_sql_udf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert {r["band"] for r in rows} <= {"low", "mid", "high"}
+    assert sum(r["n_lines"] for r in rows) == load(
+        spark, sf_dir, "lineitem"
+    ).count()

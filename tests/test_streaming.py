@@ -892,3 +892,23 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(final, cols) == _rows(expected, cols)
+
+
+def test_s12_trending_invariant_to_batch_split(spark, sf_dir):
+    """The serving-table result must be a pure function of the data,
+    not of how the stream was chopped into micro-batches: a 1-batch
+    replay (everything at once) and the 4-batch replay produce
+    identical top-k tables, and ranks are contiguous from 1 per
+    window."""
+    four = runners.trending_topk_run(spark, sf_dir, n_batches=4)
+    one = runners.trending_topk_run(spark, sf_dir, n_batches=1)
+    cols = ["window_start", "rnk", "event_type", "n", "sum_value"]
+    rows4 = sorted(tuple(r[c] for c in cols) for r in four.collect())
+    rows1 = sorted(tuple(r[c] for c in cols) for r in one.collect())
+    assert rows4 == rows1
+    by_w = {}
+    for r in rows4:
+        by_w.setdefault(r[0], []).append(r[1])
+    for w, rnks in by_w.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3
