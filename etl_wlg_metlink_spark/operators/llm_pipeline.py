@@ -5684,3 +5684,298 @@ ORACLE["l63_char_entropy"] = f"""
            entropy < {L63_MIN_ENTROPY} AS low_entropy
     FROM ent
 """
+
+
+#: l64 DSIR: hashed-feature bucket count, smoothing, and selection size.
+L64_BUCKETS = 1024
+L64_TOPN = 50
+
+
+def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-pool
+    document by how target-like its hashed n-gram features are, and
+    keep the top-N. The target here is the English slice (select from
+    a multilingual crawl toward an English target distribution); the
+    raw pool is everything else. Features are word unigrams AND
+    bigrams hashed into L64_BUCKETS buckets; bucket b gets
+    log-likelihood ratio ln(p_target(b) / p_raw(b)) under add-one
+    smoothing, and a document's importance is the MEAN ratio over its
+    token features (mean, not sum — DSIR's length-bias correction).
+
+    Scale shape: the two bucket distributions are BOUNDED relations
+    (L64_BUCKETS rows each) built by one map-side-combined agg over
+    the feature explode, then joined as ONE broadcast map onto the
+    raw pool's features — the corpus shuffles only for its per-doc
+    mean (doc-keyed, map-side partials). Top-N is
+    TakeOrderedAndProject on the rounded score. At 100 TB the bucket
+    table stays 1024 rows no matter the corpus — that boundedness is
+    the whole point of hashed features (vs an unbounded vocabulary
+    LM, the l20 head/tail problem DSIR sidesteps by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", _words(F.col("text")).alias("ws")
+    )
+    ws = F.col("ws")
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                ws,
+                # guard: F.sequence(1, 0) yields a DESCENDING [1, 0],
+                # not empty — a 1-token doc would emit bogus bigrams
+                F.when(
+                    F.size(ws) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "lang", (_md5_int60(F.col("g")) % L64_BUCKETS).alias("b")
+    )
+    tgt = (
+        grams.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = (
+        grams.where(F.col("lang") != "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("cr"))
+    )
+    tgt_tot = tgt.agg(F.sum("ct").alias("t_total"))
+    raw_tot = raw.agg(F.sum("cr").alias("r_total"))
+    # dense bucket spine so absent buckets still carry their smoothed
+    # mass — 1024 rows, broadcast everywhere
+    spine = spark.range(L64_BUCKETS).select(F.col("id").alias("b"))
+    llr = (
+        spine.join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(tgt_tot)
+        .crossJoin(raw_tot)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("t_total") + L64_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1)
+                    / (F.col("r_total") + L64_BUCKETS)
+                )
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        grams.where(F.col("lang") != "en")
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.round(F.avg("llr"), 4).alias("importance"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_features", "importance")
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(L64_TOPN)
+    )
+
+
+QUERIES["l64_dsir_importance"] = l64_dsir_importance
+
+ORACLE["l64_dsir_importance"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             {_duck_md5_int60('g')} % {L64_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang, unnest(ws) AS g FROM base
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS g
+        FROM base
+      )
+    ),
+    tgt AS (
+      SELECT b, COUNT(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (
+      SELECT b, COUNT(*) AS cr FROM grams WHERE lang != 'en' GROUP BY b
+    ),
+    tgt_tot AS (SELECT SUM(ct) AS t_total FROM tgt),
+    raw_tot AS (SELECT SUM(cr) AS r_total FROM raw),
+    spine AS (SELECT unnest(range(0, {L64_BUCKETS})) AS b),
+    llr AS (
+      SELECT spine.b AS b,
+             ln((COALESCE(ct, 0) + 1) / (t_total + {L64_BUCKETS}))
+             - ln((COALESCE(cr, 0) + 1) / (r_total + {L64_BUCKETS})) AS llr
+      FROM spine
+      LEFT JOIN tgt ON spine.b = tgt.b
+      LEFT JOIN raw ON spine.b = raw.b
+      CROSS JOIN tgt_tot CROSS JOIN raw_tot
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_features,
+             ROUND(AVG(llr), 4) AS importance
+      FROM grams JOIN llr USING (b)
+      WHERE lang != 'en'
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+           n_features, importance
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY importance DESC, s.doc_id
+    LIMIT {L64_TOPN}
+"""
+
+
+#: l65 CDC: boundary window width, cut modulus (expected chunk length
+#: ~ L65_MOD tokens), and the min tokens for a doc to chunk at all.
+L65_W = 4
+L65_MOD = 64
+
+
+def l65_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit — the rolling-boundary
+    technique dedup storage (LBFS/restic/borg lineage) uses instead of
+    fixed-size blocks: a cut lands AFTER token i wherever the
+    fingerprint of the L65_W-token window ending at i hits 0 mod
+    L65_MOD, so chunk boundaries depend only on LOCAL content. Insert
+    one sentence into a doc and only the chunks touching the edit
+    change — fixed-size chunking (l37) shifts every downstream chunk,
+    which is exactly why CDC wins for near-identical-document corpora.
+    Reports, per doc, its chunk count, mean chunk width, and the share
+    of its chunks that recur in OTHER docs (chunk-level dup share).
+
+    Scale shape: boundary detection, cut positions and chunk assembly
+    are ALL array higher-order functions inside one map-side
+    projection (no explode until chunks exist — and the fingerprint
+    array is projected as a real column first, the HOF-closure
+    re-evaluation trap in SCALE.md); the only shuffles are the chunk-
+    fp -> distinct-doc-count agg and the doc rollup, the same two the
+    l43 window audit pays. Nothing driver-side, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).where(
+        F.size("ws") >= L65_W
+    )
+    ws, n = F.col("ws"), F.size(F.col("ws"))
+    # fingerprint of the window ENDING at token i, for i = W..n
+    with_fps = base.select(
+        "doc_id",
+        "ws",
+        F.transform(
+            F.sequence(F.lit(L65_W), n),
+            lambda i: _md5_int60(
+                F.concat_ws(" ", F.slice(ws, i - (L65_W - 1), L65_W))
+            ),
+        ).alias("fps"),
+    )
+    # cut positions: window-end indices whose fp hits the modulus,
+    # excluding a cut at the very end (it would open an empty chunk)
+    cuts = F.filter(
+        F.sequence(F.lit(L65_W), n),
+        lambda i: (F.element_at(F.col("fps"), i - (L65_W - 1)) % L65_MOD == 0)
+        & (i < n),
+    )
+    with_cuts = with_fps.select("doc_id", "ws", cuts.alias("cuts"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("cuts"), lambda c: c + 1)
+    )
+    ends = F.concat(F.col("cuts"), F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda a, b: F.concat_ws(" ", F.slice(ws, a, b - a + 1)),
+    )
+    chunked = with_cuts.select("doc_id", F.explode(chunks).alias("chunk"))
+    rel = chunked.select(
+        "doc_id",
+        F.md5("chunk").alias("cfp"),
+        F.size(_words(F.col("chunk"))).alias("chunk_tokens"),
+    )
+    docs_per_fp = rel.groupBy("cfp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        rel.join(docs_per_fp, "cfp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.avg("chunk_tokens"), 4).alias("mean_chunk_tokens"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "mean_chunk_tokens",
+            "n_shared_chunks",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 4).alias(
+                "shared_share"
+            ),
+        )
+    )
+
+
+QUERIES["l65_cdc_chunks"] = l65_cdc_chunks
+
+_L65_WIN_SQL = " || ' ' || ".join(
+    f"ws[i-{L65_W - 1 - o}]" for o in range(L65_W)
+)
+
+ORACLE["l65_cdc_chunks"] = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= {L65_W}
+    ),
+    cut_pos AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             list_filter(range({L65_W}, len(ws) + 1),
+               i -> {_duck_md5_int60(_L65_WIN_SQL)} % {L65_MOD} = 0
+                    AND i < len(ws)) AS cuts
+      FROM base
+    ),
+    spans AS (
+      SELECT doc_id, ws,
+             list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+             list_append(cuts, n) AS ends
+      FROM cut_pos
+    ),
+    chunked AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(starts) + 1),
+               k -> array_to_string(ws[starts[k] : ends[k]], ' '))) AS chunk
+      FROM spans
+    ),
+    rel AS (
+      SELECT doc_id, md5(chunk) AS cfp,
+             len(string_split(chunk, ' ')) AS chunk_tokens
+      FROM chunked
+    ),
+    docs_per_fp AS (
+      SELECT cfp, COUNT(DISTINCT doc_id) AS nd FROM rel GROUP BY cfp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           ROUND(AVG(chunk_tokens), 4) AS mean_chunk_tokens,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+             AS shared_share
+    FROM rel JOIN docs_per_fp USING (cfp)
+    GROUP BY doc_id
+"""

@@ -193,6 +193,8 @@ _ORDER = (
     "l63_char_entropy",
     "s12_trending_topk",
     "x17_sql_udf",
+    "l64_dsir_importance",
+    "l65_cdc_chunks",
 )
 
 

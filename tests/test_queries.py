@@ -1322,3 +1322,44 @@ def test_x17_sql_udf_inlines_into_plan(spark, sf_dir):
     assert sum(r["n_lines"] for r in rows) == load(
         spark, sf_dir, "lineitem"
     ).count()
+
+
+def test_l64_scores_ordered_and_raw_pool_only(spark, sf_dir):
+    """DSIR selection discipline: only raw-pool (non-target) docs are
+    scored, scores are descending, and one doc's feature count matches
+    unigrams + bigrams of its text."""
+    rows = queries()["l64_dsir_importance"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["lang"] != "en" for r in rows)
+    scores = [r["importance"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    from etl_wlg_metlink_spark.tables import load
+
+    docs_df = load(spark, sf_dir, "documents")
+    doc = docs_df.where(docs_df.doc_id == rows[0]["doc_id"]).first()
+    n_tok = len(doc["text"].split(" "))
+    assert rows[0]["n_features"] == n_tok + max(n_tok - 1, 0)
+
+
+def test_l65_chunks_partition_every_document(spark, sf_dir):
+    """CDC conservation law: chunks tile the token stream exactly —
+    n_chunks * mean width returns the doc's token count (chunks never
+    overlap, never gap), and every doc >= W tokens appears."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l65_cdc_chunks"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+        if r["n"] >= 4
+    }
+    assert set(r["doc_id"] for r in rows) == set(docs)
+    for r in rows:
+        total = r["n_chunks"] * r["mean_chunk_tokens"]
+        assert abs(total - docs[r["doc_id"]]) < 1e-2
+        assert 0.0 <= r["shared_share"] <= 1.0
+        assert r["n_shared_chunks"] <= r["n_chunks"]
