@@ -5750,26 +5750,22 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (_md5_int60(F.col("g")) % L64_BUCKETS).alias("b")
     )
-    tgt = (
-        grams.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # BOTH distributions in one conditional-sum pass over the feature
+    # stream (separate tgt/raw aggregations would each re-explode the
+    # corpus — 3 corpus passes total instead of 2; plan-audited)
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("cr"),
     )
-    raw = (
-        grams.where(F.col("lang") != "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("cr"))
+    tots = counts.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
     )
-    tgt_tot = tgt.agg(F.sum("ct").alias("t_total"))
-    raw_tot = raw.agg(F.sum("cr").alias("r_total"))
     # dense bucket spine so absent buckets still carry their smoothed
     # mass — 1024 rows, broadcast everywhere
     spine = spark.range(L64_BUCKETS).select(F.col("id").alias("b"))
     llr = (
-        spine.join(tgt, "b", "left")
-        .join(raw, "b", "left")
-        .crossJoin(tgt_tot)
-        .crossJoin(raw_tot)
+        spine.join(counts, "b", "left")
+        .crossJoin(tots)
         .select(
             "b",
             (
