@@ -395,6 +395,29 @@ def x17_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x18_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: Pearson correlation, population
+    covariance / variance / stddev of event values against hour-of-day
+    per event type — the profiling pass a feature store runs before
+    modeling. All five are one-pass streaming aggregates (sum of
+    products form) with map-side partials; DuckDB implements the same
+    textbook definitions, so the oracle matches at ROUND(4) (double
+    accumulation differs across engines only at ~1e-12 relative)."""
+    events = load(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
+            F.round(F.covar_pop("value", hour), 4).alias("covar_value_hour"),
+            F.round(F.stddev_pop("value"), 4).alias("stddev_value"),
+            F.round(F.var_pop("value"), 4).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -413,6 +436,7 @@ QUERIES = {
     "x15_lateral_topk": x15_lateral_topk,
     "x16_pipe_syntax": x16_pipe_syntax,
     "x17_sql_udf": x17_sql_udf,
+    "x18_stats_profile": x18_stats_profile,
 }
 
 ORACLE = {
@@ -578,4 +602,19 @@ ORACLE["x17_sql_udf"] = f"""
     FROM lineitem
     GROUP BY band
     ORDER BY band
+"""
+
+
+ORACLE["x18_stats_profile"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 4)
+             AS corr_value_hour,
+           ROUND(covar_pop(value, CAST(hour(ts) AS DOUBLE)), 4)
+             AS covar_value_hour,
+           ROUND(stddev_pop(value), 4) AS stddev_value,
+           ROUND(var_pop(value), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
 """

@@ -5986,3 +5986,146 @@ ORACLE["l65_cdc_chunks"] = f"""
     FROM rel JOIN docs_per_fp USING (cfp)
     GROUP BY doc_id
 """
+
+
+#: l66 mixture config: per-language sampling weights (sum 1.0) and the
+#: total token budget the training run may consume.
+L66_WEIGHTS = (("en", 0.50), ("fr", 0.20), ("de", 0.15), ("es", 0.10),
+               ("zh", 0.05))
+L66_BUDGET = 1_000_000
+
+
+def l66_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch allocation — the arithmetic behind "how many
+    epochs of each domain does this mixture imply?": given per-domain
+    mixture weights and a total token budget, each domain's target
+    token count is weight x budget; full_epochs = target //
+    available is how many complete passes the sampler repeats, and the
+    remainder fills a PARTIAL epoch from a deterministic hash-ordered
+    prefix of the domain's documents (md5 priority — retry-safe, the
+    l44 argument; rand() priorities change the prefix across task
+    retries). Oversampling (epochs > 1, the "4 epochs of Wikipedia"
+    decision) falls out of the same integers.
+
+    Scale shape: per-domain totals are one map-side-combined agg; the
+    partial-epoch prefix count needs a cumulative sum per domain over
+    hash order — a per-domain sort bounded by the domain partition
+    (the l26 class; at 100 TB with few domains, the range-partitioned
+    sharded cumsum swaps in — the window form is kept here because
+    domain count x corpus/domain keeps partitions even). Output is
+    one row per domain."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+        _md5_int60(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_l66"))
+        ).alias("pri"),
+    )
+    weights = spark.createDataFrame(
+        list(L66_WEIGHTS), ["lang", "weight"]
+    )
+    avail = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("available_tokens"),
+    )
+    alloc = (
+        avail.join(F.broadcast(weights), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "available_tokens",
+            F.floor(F.col("weight") * L66_BUDGET).cast("long").alias(
+                "target_tokens"
+            ),
+        )
+        .select(
+            "*",
+            (F.col("target_tokens") / F.col("available_tokens"))
+            .cast("long")
+            .alias("full_epochs"),
+            (F.col("target_tokens") % F.col("available_tokens")).alias(
+                "remainder_tokens"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    cum = base.select(
+        "lang",
+        "doc_id",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_tokens"),
+    )
+    partial = (
+        cum.join(
+            F.broadcast(alloc.select("lang", "remainder_tokens")), "lang"
+        )
+        .where(F.col("cum_tokens") <= F.col("remainder_tokens"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs_partial_epoch"))
+    )
+    return (
+        alloc.join(partial, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "available_tokens",
+            "target_tokens",
+            "full_epochs",
+            "remainder_tokens",
+            F.coalesce("n_docs_partial_epoch", F.lit(0)).alias(
+                "n_docs_partial_epoch"
+            ),
+            (F.col("full_epochs") >= 1).alias("oversampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["l66_token_budget_epochs"] = l66_token_budget_epochs
+
+_L66_WEIGHTS_SQL = ", ".join(f"('{lg}', {w})" for lg, w in L66_WEIGHTS)
+
+ORACLE["l66_token_budget_epochs"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_duck_md5_int60("doc_id::VARCHAR || '_l66'")} AS pri
+      FROM documents
+    ),
+    weights(lang, weight) AS (VALUES {_L66_WEIGHTS_SQL}),
+    avail AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS available_tokens
+      FROM base GROUP BY lang
+    ),
+    alloc AS (
+      SELECT lang, n_docs, CAST(available_tokens AS BIGINT)
+               AS available_tokens,
+             CAST(floor(weight * {L66_BUDGET}) AS BIGINT) AS target_tokens,
+             CAST(CAST(floor(weight * {L66_BUDGET}) AS BIGINT)
+                  // available_tokens AS BIGINT) AS full_epochs,
+             CAST(CAST(floor(weight * {L66_BUDGET}) AS BIGINT)
+                  % available_tokens AS BIGINT) AS remainder_tokens
+      FROM avail JOIN weights USING (lang)
+    ),
+    cum AS (
+      SELECT lang, doc_id,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY pri, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM base
+    ),
+    partial AS (
+      SELECT lang, COUNT(*) AS n_docs_partial_epoch
+      FROM cum JOIN alloc USING (lang)
+      WHERE cum_tokens <= remainder_tokens
+      GROUP BY lang
+    )
+    SELECT a.lang AS lang, n_docs, available_tokens, target_tokens,
+           full_epochs, remainder_tokens,
+           COALESCE(n_docs_partial_epoch, 0) AS n_docs_partial_epoch,
+           full_epochs >= 1 AS oversampled
+    FROM alloc a LEFT JOIN partial p ON a.lang = p.lang
+    ORDER BY a.lang
+"""

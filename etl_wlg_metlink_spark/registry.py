@@ -195,6 +195,8 @@ _ORDER = (
     "x17_sql_udf",
     "l64_dsir_importance",
     "l65_cdc_chunks",
+    "x18_stats_profile",
+    "l66_token_budget_epochs",
 )
 
 

@@ -1363,3 +1363,37 @@ def test_l65_chunks_partition_every_document(spark, sf_dir):
         assert abs(total - docs[r["doc_id"]]) < 1e-2
         assert 0.0 <= r["shared_share"] <= 1.0
         assert r["n_shared_chunks"] <= r["n_chunks"]
+
+
+def test_x18_variance_identities(spark, sf_dir):
+    """var = stddev^2 and covariance/correlation sign agreement —
+    the aggregate definitions must be internally consistent."""
+    rows = queries()["x18_stats_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["var_value"] - r["stddev_value"] ** 2) < 1e-2
+        if abs(r["corr_value_hour"]) > 1e-4:
+            assert (r["corr_value_hour"] > 0) == (r["covar_value_hour"] > 0)
+        assert -1.0 <= r["corr_value_hour"] <= 1.0
+
+
+def test_l66_budget_arithmetic(spark, sf_dir):
+    """Allocation identities: targets sum to ~budget, epoch integers
+    reconstruct the target, and the partial-epoch prefix never
+    overshoots the remainder."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L66_BUDGET,
+        L66_WEIGHTS,
+    )
+
+    rows = queries()["l66_token_budget_epochs"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == {lg for lg, _ in L66_WEIGHTS}
+    assert abs(sum(r["target_tokens"] for r in rows) - L66_BUDGET) < len(rows)
+    for r in rows:
+        assert (
+            r["full_epochs"] * r["available_tokens"] + r["remainder_tokens"]
+            == r["target_tokens"]
+        )
+        assert 0 <= r["remainder_tokens"] < r["available_tokens"]
+        assert r["n_docs_partial_epoch"] <= r["n_docs"]
+        assert r["oversampled"] == (r["full_epochs"] >= 1)
