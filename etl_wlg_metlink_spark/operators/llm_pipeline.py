@@ -18,6 +18,8 @@ Scale rules:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
@@ -6129,3 +6131,110 @@ ORACLE["l66_token_budget_epochs"] = f"""
     FROM alloc a LEFT JOIN partial p ON a.lang = p.lang
     ORDER BY a.lang
 """
+
+
+def l67_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics — MRR and nDCG@K over the l56 BM25
+    ranking, with same-source-as-query binary relevance (the standard
+    weak-supervision label when no human judgments exist: a doc from
+    the query doc's own source is "relevant"). One row per query plus
+    the metric definitions every retrieval eval harness needs:
+    reciprocal rank of the first relevant hit, DCG with the 1/log2(r+1)
+    discount, and the ideal-DCG normalization over min(K, n_relevant).
+
+    Cross-engine determinism: ranks are l56's integers; the discount
+    values are closed-form doubles of small integer ranks, identical
+    in both engines, and per-query sums are <= K terms — ROUND(6) is
+    orders of magnitude from any boundary.
+
+    Scale shape: everything downstream of l56's bounded top-K relation
+    (queries x K rows) — label join is one broadcast of the query->
+    source map (bounded by the query set), the ideal-DCG spine is a
+    K-row broadcast, and the rollup is queries-sized. The corpus cost
+    IS l56; the metrics are free."""
+    ranked = l56_bm25_retrieval(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    qsrc = F.broadcast(
+        src.withColumnRenamed("doc_id", "query_id").withColumnRenamed(
+            "source", "q_source"
+        )
+    )
+    labeled = (
+        ranked.join(
+            F.broadcast(src.withColumnRenamed("source", "d_source")), "doc_id"
+        )
+        .join(qsrc, "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            (F.col("d_source") == F.col("q_source")).cast("int").alias("rel"),
+        )
+    )
+    per_q = labeled.groupBy("query_id").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.col("rel") / F.log2(F.col("rnk") + 1)
+        ).alias("dcg_raw"),
+    )
+    # ideal DCG for r relevant hits in K slots = sum of the first r
+    # discounts — a K-row closed form, computed as a literal spine
+    idcg_rows = [
+        (r, float(sum(1.0 / math.log2(i + 2) for i in range(r))))
+        for r in range(0, L56_TOPK + 1)
+    ]
+    idcg = F.broadcast(
+        spark.createDataFrame(idcg_rows, ["n_rel", "idcg"])
+    )
+    return (
+        per_q.join(idcg, per_q.n_relevant == idcg.n_rel)
+        .select(
+            "query_id",
+            "n_relevant",
+            F.coalesce(
+                F.round(1.0 / F.col("first_rel"), 6), F.lit(0.0)
+            ).alias("mrr"),
+            F.when(F.col("n_relevant") > 0, F.round(
+                F.col("dcg_raw") / F.col("idcg"), 6
+            )).otherwise(0.0).alias("ndcg_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["l67_retrieval_metrics"] = l67_retrieval_metrics
+
+_L67_IDCG_SQL = " + ".join(
+    f"CASE WHEN n_relevant >= {r} THEN 1.0 / log2({r} + 1) ELSE 0 END"
+    for r in range(1, L56_TOPK + 1)
+)
+
+ORACLE["l67_retrieval_metrics"] = f"""
+    WITH ranked AS ({{L56_SQL}}),
+    src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+      SELECT r.query_id AS query_id, r.rnk AS rnk,
+             CASE WHEN d.source = q.source THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      JOIN src d ON r.doc_id = d.doc_id
+      JOIN src q ON r.query_id = q.doc_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_relevant,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+             SUM(rel / log2(rnk + 1)) AS dcg_raw
+      FROM labeled GROUP BY query_id
+    )
+    SELECT query_id, n_relevant,
+           COALESCE(ROUND(1.0 / first_rel, 6), 0.0) AS mrr,
+           CASE WHEN n_relevant > 0
+                THEN ROUND(dcg_raw / ({_L67_IDCG_SQL}), 6)
+                ELSE 0.0 END AS ndcg_at_5
+    FROM per_q
+    ORDER BY query_id
+"""
+ORACLE["l67_retrieval_metrics"] = ORACLE["l67_retrieval_metrics"].replace(
+    "{L56_SQL}", ORACLE["l56_bm25_retrieval"]
+)

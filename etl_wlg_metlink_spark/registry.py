@@ -197,6 +197,7 @@ _ORDER = (
     "l65_cdc_chunks",
     "x18_stats_profile",
     "l66_token_budget_epochs",
+    "l67_retrieval_metrics",
 )
 
 

@@ -1397,3 +1397,33 @@ def test_l66_budget_arithmetic(spark, sf_dir):
         assert 0 <= r["remainder_tokens"] < r["available_tokens"]
         assert r["n_docs_partial_epoch"] <= r["n_docs"]
         assert r["oversampled"] == (r["full_epochs"] >= 1)
+
+
+def test_l67_metric_bounds_and_mrr_definition(spark, sf_dir):
+    """Metric sanity: MRR and nDCG in [0,1]; MRR is exactly 1/rank of
+    the first relevant result recomputed from the l56 ranking and the
+    same-source labels."""
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l67_retrieval_metrics"](spark, sf_dir).collect()
+    assert rows
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    ranked = {}
+    for r in queries()["l56_bm25_retrieval"](spark, sf_dir).collect():
+        ranked.setdefault(r["query_id"], []).append((r["rnk"], r["doc_id"]))
+    for r in rows:
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg_at_5"] <= 1.0 + 1e-9
+        hits = [
+            rnk
+            for rnk, d in sorted(ranked[r["query_id"]])
+            if src[d] == src[r["query_id"]]
+        ]
+        assert r["n_relevant"] == len(hits)
+        expect_mrr = round(1.0 / hits[0], 6) if hits else 0.0
+        assert abs(r["mrr"] - expect_mrr) < 1e-9
