@@ -29,6 +29,11 @@ BNLJ_OK = {
     "l31_length_trim_sketch",  # same shape, sketch-derived threshold row
     "l54_split_crossentropy",  # 1-row broadcast (N, V) totals cross join
     "l56_bm25_retrieval",  # 1-row broadcast (N, avgdl) corpus scalars
+    "l64_dsir_importance",  # 1-row broadcast (t_total, r_total) cross join
+    "l66_token_budget_epochs",  # 1-row budget scalars if CBO inlines them
+    "l67_retrieval_metrics",  # inherits l56's 1-row corpus-scalars BNLJ
+    "r34_prospect_customers",  # 1-row broadcast global-average balance
+    "r32_small_quantity_revenue",  # 1-row fallback if threshold stats stale
 }
 
 
