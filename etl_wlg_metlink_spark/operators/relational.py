@@ -1003,6 +1003,132 @@ def r34_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: both nations must have SUPPLIERS at every SF (sf0.001 ships only 10
+#: suppliers over 10 nations) or a direction goes empty
+R35_NATIONS = ("NATION_3", "NATION_8")
+
+
+def r35_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue flowing between
+    two nations in BOTH directions (supplier nation ships, customer
+    nation buys), per year — the query whose point is the DOUBLE dim
+    path on one fact: lineitem reaches nation once through supplier
+    and once through orders→customer, and the pair filter must accept
+    (A,B) and (B,A) but nothing else.
+
+    Scale shape: the two nation lookups are pre-resolved into tiny
+    broadcast maps (supplier→nation-name: |supplier| rows but 2
+    columns, broadcast at small SF, keyed shuffle at 100 TB; the
+    customer path pre-joins orders→customer BEFORE touching lineitem
+    so the fact table shuffles once on l_orderkey). The disjunctive
+    pair predicate is a residual on the already-joined row — never a
+    second scan. Output is 2 directions x years."""
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    a, b = R35_NATIONS
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    disc = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(disc).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+R36_NATION, R36_REGION = "NATION_3", "EUROPE"
+
+
+def r36_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's customer
+    market, the share of revenue captured by one nation's suppliers,
+    per year — the conditional-aggregation-ratio pattern (numerator is
+    a CASE inside the SAME aggregation as the denominator; two query
+    passes would be the naive translation).
+
+    Scale shape: region restriction prunes the customer dim BEFORE the
+    fact joins (semi-join through the broadcast nation⨝region dim);
+    lineitem shuffles once on l_orderkey against the pruned
+    orders⨝customer side; the supplier-nation flag rides a broadcast
+    supplier map. One pass, one conditional agg, years x 1 rows."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    cust_in_region = (
+        load(spark, sf_dir, "customer")
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("r_name") == R36_REGION)
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    supp_flag = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == R36_NATION).alias("is_target"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    disc = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_flag, li.l_suppkey == supp_flag.s_suppkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), disc).otherwise(
+                F.lit(0).cast("decimal(18,4)"))).alias("target_rev"),
+            F.sum(disc).alias("total_rev"),
+        )
+        .select(
+            "l_year",
+            F.round(
+                F.col("target_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            "target_rev",
+            "total_rev",
+        )
+        .orderBy("l_year")
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -1038,6 +1164,8 @@ QUERIES = {
     "r32_small_quantity_revenue": r32_small_quantity_revenue,
     "r33_disjunctive_predicate_revenue": r33_disjunctive_predicate_revenue,
     "r34_prospect_customers": r34_prospect_customers,
+    "r35_nation_volume_shipping": r35_nation_volume_shipping,
+    "r36_market_share": r36_market_share,
 }
 
 _R21_LAGS = ",\n".join(
@@ -1456,5 +1584,57 @@ ORACLE = {
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """,
+    "r35_nation_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = '{R35_NATIONS[0]}'
+               AND cn.n_name = '{R35_NATIONS[1]}')
+           OR (sn.n_name = '{R35_NATIONS[1]}'
+               AND cn.n_name = '{R35_NATIONS[0]}')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "r36_market_share": f"""
+        WITH base AS (
+          SELECT year(l_shipdate) AS l_year,
+                 CASE WHEN sn.n_name = '{R36_NATION}' THEN 1 ELSE 0 END
+                   AS is_target,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(18,4)) AS disc
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region   ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = '{R36_REGION}'
+        ),
+        agg AS (
+          SELECT CAST(l_year AS INT) AS l_year,
+                 SUM(CASE WHEN is_target = 1 THEN disc
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS target_rev,
+                 SUM(disc) AS total_rev
+          FROM base GROUP BY 1
+        )
+        SELECT l_year,
+               ROUND(CAST(target_rev AS DOUBLE)
+                     / CAST(total_rev AS DOUBLE), 6) AS mkt_share,
+               CAST(target_rev AS DECIMAL(18,4)) AS target_rev,
+               CAST(total_rev AS DECIMAL(18,4)) AS total_rev
+        FROM agg
+        ORDER BY l_year
     """,
 }

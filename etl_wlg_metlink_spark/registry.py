@@ -198,6 +198,8 @@ _ORDER = (
     "x18_stats_profile",
     "l66_token_budget_epochs",
     "l67_retrieval_metrics",
+    "r35_nation_volume_shipping",
+    "r36_market_share",
 )
 
 
