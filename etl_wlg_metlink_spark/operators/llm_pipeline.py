@@ -6238,3 +6238,125 @@ ORACLE["l67_retrieval_metrics"] = f"""
 ORACLE["l67_retrieval_metrics"] = ORACLE["l67_retrieval_metrics"].replace(
     "{L56_SQL}", ORACLE["l56_bm25_retrieval"]
 )
+
+
+def l68_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension diagnostics — per-dimension mean and
+    population variance across the corpus, the anisotropy check run
+    before indexing or quantizing an embedding table (a dimension with
+    near-zero variance wastes index bits; a dominant dimension skews
+    every distance metric and argues for whitening; a nonzero mean
+    vector is the classic "anisotropic embedding" smell).
+
+    Scale shape: one posexplode (corpus x dim rows, map-side) into a
+    dim-keyed agg with map-side partials collapsing each partition to
+    at most n_dims rows — the shuffle moves n_partitions x n_dims
+    partial states regardless of corpus size. Output is n_dims
+    rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("dim"), F.col("x").cast("double"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 4).alias("mean_val"),
+            F.round(F.var_pop("x"), 4).alias("var_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["l68_embedding_dim_stats"] = l68_embedding_dim_stats
+
+ORACLE["l68_embedding_dim_stats"] = """
+    SELECT i AS dim, COUNT(*) AS n,
+           ROUND(AVG(x), 4) AS mean_val,
+           ROUND(var_pop(x), 4) AS var_val
+    FROM (
+      SELECT unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    GROUP BY i ORDER BY i
+"""
+
+
+def l69_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup manifest — l29's keep/drop decision with the
+    survivor rule every curation pipeline actually wants: within each
+    near-dup cluster keep the HIGHEST-quality member (l2's score; ties
+    break on doc_id), not the smallest id. The min-id rule (l29) is
+    cheap but arbitrary; when near-dups differ — one copy truncated,
+    one boilerplate-wrapped — the quality argmax retains the best
+    exemplar.
+
+    Scale shape: the quality score is a map-side expression; the
+    argmax window runs ONLY over the clustered docs (the bounded label
+    relation broadcast-joined inner — near-dups are tiny vs the
+    corpus), so the corpus itself never shuffles: singletons are
+    keep-by-construction and union back in map-side."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    q = base.select(
+        "doc_id",
+        F.round(_quality_score_raw(F.col("ws")), 4).alias("quality_score"),
+    )
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    clustered = q.join(F.broadcast(labels), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    clustered_verdict = clustered.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        F.when(F.row_number().over(w) == 1, "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+    singletons = q.join(F.broadcast(labels.select("doc_id")), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        "quality_score",
+        F.lit("keep").alias("verdict"),
+    )
+    return clustered_verdict.unionByName(singletons)
+
+
+QUERIES["l69_keep_best_dedup"] = l69_keep_best_dedup
+
+# one CC definition, two manifests: reuse l29's oracle CTE chain
+# (shingle -> minhash -> LSH -> verified pairs -> 3-round label
+# propagation) verbatim and swap only the survivor rule
+_L29_CTE_PREFIX = ORACLE["l29_dedup_manifest"].rsplit(
+    "SELECT d.doc_id", 1
+)[0]
+
+ORACLE["l69_keep_best_dedup"] = _L29_CTE_PREFIX + """
+        , quality AS (
+          SELECT doc_id,
+                 ROUND(0.35 * (len(list_distinct(ws))::DOUBLE / len(ws))
+                       + 0.25 * (1 - len(list_filter(ws, w -> w IN
+                           ('the', 'a', 'of', 'and', 'in', 'to')))::DOUBLE
+                           / len(ws))
+                       + 0.4 * least(len(ws) / 60.0, 1.0), 4)
+                   AS quality_score
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        manifest AS (
+          SELECT d.doc_id AS doc_id,
+                 COALESCE(l.lbl, d.doc_id) AS cluster_id,
+                 q.quality_score AS quality_score
+          FROM documents d
+          LEFT JOIN l3 l ON l.node = d.doc_id
+          JOIN quality q ON q.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id, quality_score,
+               CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY quality_score DESC, doc_id) = 1
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM manifest
+"""

@@ -200,6 +200,8 @@ _ORDER = (
     "l67_retrieval_metrics",
     "r35_nation_volume_shipping",
     "r36_market_share",
+    "l68_embedding_dim_stats",
+    "l69_keep_best_dedup",
 )
 
 

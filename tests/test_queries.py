@@ -1455,3 +1455,37 @@ def test_r36_share_is_ratio_of_outputs(spark, sf_dir):
             - round(float(r["target_rev"]) / float(r["total_rev"]), 6)
         ) < 1e-9
         assert float(r["target_rev"]) <= float(r["total_rev"])
+
+
+def test_l68_dims_cover_embedding_width(spark, sf_dir):
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l68_embedding_dim_stats"](spark, sf_dir).collect()
+    width = len(
+        load(spark, sf_dir, "embeddings").first()["embedding"]
+    )
+    assert [r["dim"] for r in rows] == list(range(1, width + 1))
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["var_val"] >= 0.0
+
+
+def test_l69_one_keep_per_cluster_and_it_is_the_best(spark, sf_dir):
+    """Survivor discipline: exactly one keep per cluster, the keep has
+    the cluster-max quality (doc_id tiebreak), the manifest covers the
+    whole corpus, and clusters agree with l29's min-id manifest."""
+    rows = queries()["l69_keep_best_dedup"](spark, sf_dir).collect()
+    l29 = queries()["l29_dedup_manifest"](spark, sf_dir).collect()
+    assert len(rows) == len(l29)
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == {
+        r["doc_id"]: r["cluster_id"] for r in l29
+    }
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    for c, members in by_c.items():
+        keeps = [m for m in members if m["verdict"] == "keep"]
+        assert len(keeps) == 1
+        best = min(members, key=lambda m: (-m["quality_score"], m["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
