@@ -418,6 +418,55 @@ def x18_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x19_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python batch lane: the worker
+    receives raw pyarrow RecordBatches (no pandas conversion at all,
+    the copy x6-x8 pay on top of Arrow transfer) and yields batches
+    back. The transform (UTF-8 byte length and an order-independent
+    per-text checksum) runs in pyarrow compute kernels, C++ under the
+    hood. The right lane for byte-level work on multimodal blobs where
+    pandas' object boxing would dominate; the oracle replicates both
+    columns in SQL, checking the Arrow machinery itself.
+
+    Scale shape: map-only (batch in, batch out, 1:1 partition
+    streaming — no state, no shuffle); the small final agg groups on
+    lang."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def byte_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            nbytes = pc.binary_length(pc.cast(text, pa.binary()))
+            # cheap order-independent checksum: sum of codepoints
+            # mod 251 per text (codepoints, not bytes, so the DuckDB
+            # twin is unicode()-expressible)
+            arr = text.to_pylist()
+            chk = pa.array(
+                [sum(ord(c) for c in t) % 251 for t in arr],
+                type=pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("lang"), nbytes, chk],
+                names=["doc_id", "lang", "n_bytes", "checksum"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mapped = docs.mapInArrow(
+        byte_stats,
+        "doc_id long, lang string, n_bytes int, checksum long",
+    )
+    return (
+        mapped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("checksum").alias("checksum_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "x1_percentiles": x1_percentiles,
     "x2_pivot": x2_pivot,
@@ -437,6 +486,7 @@ QUERIES = {
     "x16_pipe_syntax": x16_pipe_syntax,
     "x17_sql_udf": x17_sql_udf,
     "x18_stats_profile": x18_stats_profile,
+    "x19_map_in_arrow": x19_map_in_arrow,
 }
 
 ORACLE = {
@@ -617,4 +667,19 @@ ORACLE["x18_stats_profile"] = """
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+ORACLE["x19_map_in_arrow"] = """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             list_sum(list_transform(string_split(text, ''),
+                      c -> unicode(c))) % 251 AS checksum
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(checksum) AS BIGINT) AS checksum_sum
+    FROM b GROUP BY lang ORDER BY lang
 """

@@ -202,6 +202,7 @@ _ORDER = (
     "r36_market_share",
     "l68_embedding_dim_stats",
     "l69_keep_best_dedup",
+    "x19_map_in_arrow",
 )
 
 

@@ -1489,3 +1489,28 @@ def test_l69_one_keep_per_cluster_and_it_is_the_best(spark, sf_dir):
         assert len(keeps) == 1
         best = min(members, key=lambda m: (-m["quality_score"], m["doc_id"]))
         assert keeps[0]["doc_id"] == best["doc_id"]
+
+
+def test_x19_arrow_lane_matches_jvm_recompute(spark, sf_dir):
+    """The Arrow batch lane must agree with a JVM-side recomputation of
+    byte totals (octet length via built-ins), proving the RecordBatch
+    plumbing preserves rows and values."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = {r["lang"]: r for r in queries()["x19_map_in_arrow"](spark, sf_dir).collect()}
+    jvm = {
+        r["lang"]: r
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(jvm)
+    for lang, r in rows.items():
+        assert r["n_docs"] == jvm[lang]["n_docs"]
+        assert r["total_bytes"] == jvm[lang]["total_bytes"]
