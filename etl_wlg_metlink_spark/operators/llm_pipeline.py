@@ -5856,27 +5856,11 @@ L65_W = 4
 L65_MOD = 64
 
 
-def l65_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking dedup audit — the rolling-boundary
-    technique dedup storage (LBFS/restic/borg lineage) uses instead of
-    fixed-size blocks: a cut lands AFTER token i wherever the
-    fingerprint of the L65_W-token window ending at i hits 0 mod
-    L65_MOD, so chunk boundaries depend only on LOCAL content. Insert
-    one sentence into a doc and only the chunks touching the edit
-    change — fixed-size chunking (l37) shifts every downstream chunk,
-    which is exactly why CDC wins for near-identical-document corpora.
-    Reports, per doc, its chunk count, mean chunk width, and the share
-    of its chunks that recur in OTHER docs (chunk-level dup share).
-
-    Scale shape: boundary detection, cut positions and chunk assembly
-    are ALL array higher-order functions inside one map-side
-    projection (no explode until chunks exist — and the fingerprint
-    array is projected as a real column first, the HOF-closure
-    re-evaluation trap in SCALE.md); the only shuffles are the chunk-
-    fp -> distinct-doc-count agg and the doc rollup, the same two the
-    l43 window audit pays. Nothing driver-side, no global sort."""
-    docs = load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+def _cdc_chunked(docs: DataFrame) -> DataFrame:
+    """The CDC chunker as a reusable relation: (doc_id, chunk) rows
+    from any DataFrame with (doc_id, text). Split out of l65 so the
+    edit-locality property (insert one token -> only the chunks
+    touching the edit change) is testable on synthetic docs."""
     base = docs.select("doc_id", _words(F.col("text")).alias("ws")).where(
         F.size("ws") >= L65_W
     )
@@ -5909,7 +5893,31 @@ def l65_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ends,
         lambda a, b: F.concat_ws(" ", F.slice(ws, a, b - a + 1)),
     )
-    chunked = with_cuts.select("doc_id", F.explode(chunks).alias("chunk"))
+    return with_cuts.select("doc_id", F.explode(chunks).alias("chunk"))
+
+
+def l65_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit — the rolling-boundary
+    technique dedup storage (LBFS/restic/borg lineage) uses instead of
+    fixed-size blocks: a cut lands AFTER token i wherever the
+    fingerprint of the L65_W-token window ending at i hits 0 mod
+    L65_MOD, so chunk boundaries depend only on LOCAL content. Insert
+    one sentence into a doc and only the chunks touching the edit
+    change — fixed-size chunking (l37) shifts every downstream chunk,
+    which is exactly why CDC wins for near-identical-document corpora.
+    Reports, per doc, its chunk count, mean chunk width, and the share
+    of its chunks that recur in OTHER docs (chunk-level dup share).
+
+    Scale shape: boundary detection, cut positions and chunk assembly
+    are ALL array higher-order functions inside one map-side
+    projection (no explode until chunks exist — and the fingerprint
+    array is projected as a real column first, the HOF-closure
+    re-evaluation trap in SCALE.md); the only shuffles are the chunk-
+    fp -> distinct-doc-count agg and the doc rollup, the same two the
+    l43 window audit pays. Nothing driver-side, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    chunked = _cdc_chunked(docs)
     rel = chunked.select(
         "doc_id",
         F.md5("chunk").alias("cfp"),

@@ -1514,3 +1514,38 @@ def test_x19_arrow_lane_matches_jvm_recompute(spark, sf_dir):
     for lang, r in rows.items():
         assert r["n_docs"] == jvm[lang]["n_docs"]
         assert r["total_bytes"] == jvm[lang]["total_bytes"]
+
+
+def test_l65_cdc_edit_locality(spark):
+    """THE property content-defined chunking exists for: inserting one
+    token mid-document changes only the chunks whose boundary windows
+    see the edit; every chunk fully before or after the affected
+    region survives byte-identical. Fixed-size chunking fails this
+    (every downstream chunk shifts)."""
+    import hashlib
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import _cdc_chunked
+
+    # deterministic pseudo-random 400-token doc (varied words so cuts
+    # actually occur), edited by inserting one token at position 200
+    words = [
+        "w" + hashlib.md5(f"tok{i}".encode()).hexdigest()[:6]
+        for i in range(400)
+    ]
+    edited = words[:200] + ["INSERTED"] + words[200:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    chunks = {1: [], 2: []}
+    for r in _cdc_chunked(df).collect():
+        chunks[r["doc_id"]].append(r["chunk"])
+    assert len(chunks[1]) > 3, "modulus never fired; widen the test doc"
+    orig, edit = set(chunks[1]), set(chunks[2])
+    shared = orig & edit
+    # reassembly sanity: chunks tile each doc exactly
+    assert " ".join(chunks[1]) == " ".join(words)
+    assert " ".join(chunks[2]) == " ".join(edited)
+    # locality: the overwhelming majority of chunks survive the edit
+    assert len(shared) >= len(orig) - 3, (
+        f"edit invalidated {len(orig) - len(shared)} of {len(orig)} chunks"
+    )
