@@ -6368,3 +6368,186 @@ ORACLE["l69_keep_best_dedup"] = _L29_CTE_PREFIX + """
                     THEN 'keep' ELSE 'drop' END AS verdict
         FROM manifest
 """
+
+
+#: l70 composed RAG retrieval: non-overlapping chunk width and top-k.
+L70_CHUNK = 32
+L70_TOPK = 3
+
+
+def l70_rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RAG retrieval plan — chunk -> index -> score ->
+    provenance as ONE Catalyst plan (the l42 composition argument,
+    applied to retrieval): documents split into non-overlapping
+    L70_CHUNK-token passages, a BM25 inverted index built AT CHUNK
+    GRANULARITY (what a real RAG store indexes — whole-doc scores
+    bury the relevant passage), query docs (the l56 query set) score
+    every foreign chunk, and each query returns its top-K passages
+    WITH provenance (doc, chunk index, offset) — exactly what gets
+    stuffed into a context window.
+
+    Cross-engine determinism: l56's discipline (ROUND(4) per-term
+    contributions before the nondeterministic sum, rank on rounded
+    score with full tie-breaks).
+
+    Scale shape: chunking is the l37 map-only lane (no shuffle);
+    postings aggregate once on (doc, chunk, word); the bounded
+    query-term relation broadcasts into the postings join so the
+    chunk index never shuffles for scoring; per-query top-K windows
+    only the candidate set. One corpus explode end-to-end — the
+    chunk relation is the persisted diamond (released after the
+    bounded result checkpoint)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    n = F.size(ws)
+    n_chunks = (F.ceil(n / F.lit(L70_CHUNK))).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * L70_CHUNK).alias("chunk_start"),
+            F.slice(ws, i * L70_CHUNK + 1, L70_CHUNK).alias("toks"),
+        ),
+    )
+    chunks = (
+        base.where(n >= 1)
+        .select("doc_id", F.explode(chunk_structs).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.col("ch.chunk_start").alias("chunk_start"),
+            F.col("ch.toks").alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    ctf = (
+        chunks.select(
+            "doc_id", "chunk_idx", "chunk_start",
+            F.explode("toks").alias("w"),
+        )
+        .groupBy("doc_id", "chunk_idx", "chunk_start", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf = ctf.persist(StorageLevel.MEMORY_AND_DISK)
+    cdl = ctf.groupBy("doc_id", "chunk_idx").agg(F.sum("tf").alias("dl"))
+    cdf = ctf.groupBy("w").agg(
+        F.count("*").alias("df")
+    )  # (doc,chunk,w) distinct by construction
+    scalars = cdl.agg(
+        F.count("*").alias("n_chunks_total"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        ctf.where(F.col("doc_id") % L56_QMOD == 7)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_chunks_total") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (L56_K1 + 1)) / (
+        F.col("tf")
+        + L56_K1 * (1 - L56_B + L56_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(ctf, "w")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(cdf, "w")
+        .join(cdl, ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.round(idf * tf_part, 4).alias("term_score"),
+        )
+    )
+    scored = contrib.groupBy(
+        "query_id", "doc_id", "chunk_idx", "chunk_start"
+    ).agg(F.round(F.sum("term_score"), 4).alias("score"))
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id", "chunk_idx"
+    )
+    result = (
+        scored.withColumn("rnk", F.row_number().over(w_r))
+        .where(F.col("rnk") <= L70_TOPK)
+        .select(
+            "query_id", "rnk", "doc_id", "chunk_idx", "chunk_start", "score"
+        )
+        .localCheckpoint(eager=True)  # bounded: queries x K rows
+    )
+    ctf.unpersist()
+    return result
+
+
+QUERIES["l70_rag_chunk_retrieval"] = l70_rag_chunk_retrieval
+
+ORACLE["l70_rag_chunk_retrieval"] = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             CAST(i * {L70_CHUNK} AS INT) AS chunk_start,
+             ws[i * {L70_CHUNK} + 1 :
+                least((i + 1) * {L70_CHUNK}, len(ws))] AS toks
+      FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {L70_CHUNK}.0)
+                                    AS BIGINT))) AS i
+        FROM base
+      )
+      WHERE len(ws[i * {L70_CHUNK} + 1 :
+                  least((i + 1) * {L70_CHUNK}, len(ws))]) > 0
+    ),
+    ctf AS (
+      SELECT doc_id, chunk_idx, chunk_start, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, chunk_idx, chunk_start, unnest(toks) AS w
+            FROM chunks)
+      GROUP BY 1, 2, 3, 4
+    ),
+    cdl AS (
+      SELECT doc_id, chunk_idx, SUM(tf) AS dl FROM ctf GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT w, COUNT(*) AS df FROM ctf GROUP BY w
+    ),
+    scalars AS (
+      SELECT COUNT(*) AS n_chunks_total, AVG(dl) AS avgdl FROM cdl
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, w FROM ctf
+      WHERE doc_id % {L56_QMOD} = 7
+    ),
+    contrib AS (
+      SELECT query_id, ctf.doc_id AS doc_id, ctf.chunk_idx AS chunk_idx,
+             ctf.chunk_start AS chunk_start,
+             ROUND(
+               ln(1.0 + (n_chunks_total - df + 0.5) / (df + 0.5))
+               * (tf * ({L56_K1} + 1))
+               / (tf + {L56_K1} * (1 - {L56_B} + {L56_B} * dl / avgdl)),
+               4) AS term_score
+      FROM qterms
+      JOIN ctf USING (w)
+      JOIN cdf USING (w)
+      JOIN cdl ON cdl.doc_id = ctf.doc_id
+              AND cdl.chunk_idx = ctf.chunk_idx
+      CROSS JOIN scalars
+      WHERE ctf.doc_id != query_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id, chunk_idx, chunk_start,
+             ROUND(SUM(term_score), 4) AS score
+      FROM contrib GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_id, rnk, doc_id, chunk_idx, chunk_start, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id, chunk_idx) AS rnk
+      FROM scored
+    ) WHERE rnk <= {L70_TOPK}
+"""

@@ -203,6 +203,7 @@ _ORDER = (
     "l68_embedding_dim_stats",
     "l69_keep_best_dedup",
     "x19_map_in_arrow",
+    "l70_rag_chunk_retrieval",
 )
 
 

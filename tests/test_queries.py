@@ -1549,3 +1549,31 @@ def test_l65_cdc_edit_locality(spark):
     assert len(shared) >= len(orig) - 3, (
         f"edit invalidated {len(orig) - len(shared)} of {len(orig)} chunks"
     )
+
+
+def test_l70_provenance_points_at_real_chunks(spark, sf_dir):
+    """Every returned passage must exist: chunk_start is a multiple of
+    the chunk width inside the doc's token range, the query never
+    retrieves its own chunks, and ranks are 1..K per query."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import L70_CHUNK
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l70_rag_chunk_retrieval"](spark, sf_dir).collect()
+    assert rows
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert r["chunk_start"] % L70_CHUNK == 0
+        assert r["chunk_start"] == r["chunk_idx"] * L70_CHUNK
+        assert r["chunk_start"] < n_toks[r["doc_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
