@@ -5865,25 +5865,26 @@ def _cdc_chunked(docs: DataFrame) -> DataFrame:
         F.size("ws") >= L65_W
     )
     ws, n = F.col("ws"), F.size(F.col("ws"))
-    # fingerprint of the window ENDING at token i, for i = W..n
-    with_fps = base.select(
-        "doc_id",
-        "ws",
-        F.transform(
-            F.sequence(F.lit(L65_W), n),
-            lambda i: _md5_int60(
-                F.concat_ws(" ", F.slice(ws, i - (L65_W - 1), L65_W))
-            ),
-        ).alias("fps"),
-    )
-    # cut positions: window-end indices whose fp hits the modulus,
-    # excluding a cut at the very end (it would open an empty chunk)
+    # cut positions: window-end indices i (i = W..n) whose window
+    # fingerprint hits the modulus, excluding a cut at the very end
+    # (it would open an empty chunk). The fingerprint is computed
+    # INSIDE the filter lambda — one md5 per position. Do NOT stage
+    # the fp array as a separate projected column consumed by a
+    # second lambda: Catalyst's projection collapse inlines the whole
+    # transform into the consumer's per-element closure, re-hashing
+    # every window per filter element — O(n²) md5s (measured 15.3 s
+    # vs 1.5 s at sf0.1, the SCALE.md HOF-closure trap in its
+    # between-two-HOFs form).
     cuts = F.filter(
         F.sequence(F.lit(L65_W), n),
-        lambda i: (F.element_at(F.col("fps"), i - (L65_W - 1)) % L65_MOD == 0)
+        lambda i: (
+            _md5_int60(F.concat_ws(" ", F.slice(ws, i - (L65_W - 1), L65_W)))
+            % L65_MOD
+            == 0
+        )
         & (i < n),
     )
-    with_cuts = with_fps.select("doc_id", "ws", cuts.alias("cuts"))
+    with_cuts = base.select("doc_id", "ws", cuts.alias("cuts"))
     starts = F.concat(
         F.array(F.lit(1)), F.transform(F.col("cuts"), lambda c: c + 1)
     )

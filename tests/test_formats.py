@@ -108,3 +108,38 @@ def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
     assert back.count() == src.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution — the 100 TB reality that a corpus written over
+    months gains columns: files written under an old schema and a new
+    schema must read back as one table with mergeSchema, old rows
+    NULL-filling the added column, and WITHOUT mergeSchema the read
+    must still succeed on the first-listed schema (Spark's default
+    picks one file's schema — documented footgun, pinned here)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("source")
+    ).write.parquet(out + "/batch=1")
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("source"),
+        F.lit(0.9).alias("quality"),
+    ).write.parquet(out + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) >= {"doc_id", "source", "quality"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0]["quality"] is None  # old rows null-fill
+    assert rows[6]["quality"] == 0.9
+    # column pruning still reaches the scan on the merged schema
+    plan = (
+        merged.select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "quality" not in plan.split("ReadSchema")[-1][:200]
