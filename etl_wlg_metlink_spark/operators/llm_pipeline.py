@@ -6552,3 +6552,122 @@ ORACLE["l70_rag_chunk_retrieval"] = f"""
       FROM scored
     ) WHERE rnk <= {L70_TOPK}
 """
+
+
+#: l71 audio-style framing: window width / hop (samples) and the RMS
+#: silence threshold (codepoint "samples" of text sit near ~100).
+L71_WIN, L71_HOP, L71_SILENCE = 256, 128, 100.0
+
+
+def l71_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing — OVERLAPPING frame windows + per-frame
+    RMS energy + silence detection, the framing every audio ingest
+    (VAD, loudness normalization, silence trimming) runs before
+    transcription or training. Completes the modality set: l13 is the
+    1:1 image shape, l19 the 1:N video frame shape, this the
+    hop-overlapped signal shape (frames share samples, so the batch
+    produces ~n/hop rows per payload, each width-wide).
+
+    The "codec" is the deterministic stand-in (no audio libs in this
+    container): decoded samples are the payload's codepoints — a real
+    deployment swaps in soundfile/librosa inside the same mapInPandas
+    and NOTHING else changes (schema, batching, rollup are the real
+    pattern). Samples are integers, so sum-of-squares is exact in
+    doubles and the per-frame RMS is bit-identical in both engines —
+    the whole Python lane stays oracle-checked.
+
+    Scale shape: map-only Arrow lane (payload in, bounded per-doc
+    frame stats out — frames never leave the worker unaggregated), one
+    doc-keyed rollup. State per task is one batch of payloads."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", "text")
+
+    out_schema = (
+        "doc_id long, n_frames int, mean_rms double, peak_rms double, "
+        "silence_ratio double"
+    )
+
+    def frame_energy(batches):
+        import math as _math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _r6(x: float) -> float:
+            # half-up on the shortest decimal repr — matches DuckDB's
+            # ROUND(…, 6) everywhere a boundary value can occur here
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "mean_rms": [],
+                "peak_rms": [], "silence_ratio": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                xs = [ord(c) for c in text]
+                if len(xs) < L71_WIN:
+                    continue
+                rms = []
+                for k in range((len(xs) - L71_WIN) // L71_HOP + 1):
+                    w = xs[k * L71_HOP : k * L71_HOP + L71_WIN]
+                    rms.append(
+                        _r6(_math.sqrt(sum(x * x for x in w) / L71_WIN))
+                    )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(rms))
+                # aggregates leave the worker UNROUNDED — Python's
+                # round() is banker's (half-even), DuckDB's is half
+                # away from zero; a peak landing on a .00005 boundary
+                # diverged (observed 99.8363 vs 99.8364). Final
+                # rounding happens JVM-side (F.round = HALF_UP,
+                # matching DuckDB), the s10 lesson applied to a batch
+                # lane.
+                out["mean_rms"].append(sum(rms) / len(rms))
+                out["peak_rms"].append(max(rms))
+                out["silence_ratio"].append(
+                    sum(1 for r in rms if r < L71_SILENCE) / len(rms)
+                )
+            yield pd.DataFrame(out)
+
+    mapped = payloads.mapInPandas(frame_energy, schema=out_schema)
+    return mapped.select(
+        "doc_id",
+        "n_frames",
+        F.round("mean_rms", 4).alias("mean_rms"),
+        F.round("peak_rms", 4).alias("peak_rms"),
+        F.round("silence_ratio", 4).alias("silence_ratio"),
+    )
+
+
+QUERIES["l71_audio_energy"] = l71_audio_energy
+
+ORACLE["l71_audio_energy"] = f"""
+    WITH cp AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> unicode(c)) AS xs
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, xs,
+             unnest(range(0, (len(xs) - {L71_WIN}) // {L71_HOP} + 1)) AS k
+      FROM cp WHERE len(xs) >= {L71_WIN}
+    ),
+    rms AS (
+      SELECT doc_id,
+             ROUND(sqrt(list_avg(list_transform(
+               xs[k * {L71_HOP} + 1 : k * {L71_HOP} + {L71_WIN}],
+               x -> x * x))), 6) AS r
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           ROUND(AVG(r), 4) AS mean_rms,
+           ROUND(MAX(r), 4) AS peak_rms,
+           ROUND(SUM(CASE WHEN r < {L71_SILENCE} THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS silence_ratio
+    FROM rms GROUP BY doc_id
+"""

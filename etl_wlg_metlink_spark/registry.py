@@ -204,6 +204,7 @@ _ORDER = (
     "l69_keep_best_dedup",
     "x19_map_in_arrow",
     "l70_rag_chunk_retrieval",
+    "l71_audio_energy",
 )
 
 

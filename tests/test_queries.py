@@ -1577,3 +1577,38 @@ def test_l70_provenance_points_at_real_chunks(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_l71_frame_count_and_energy_recompute(spark, sf_dir):
+    """The overlapping-frame geometry and one doc's RMS energy must
+    match a host-side recomputation (the Arrow lane is a real decode
+    path, not a black box)."""
+    import math
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L71_HOP,
+        L71_WIN,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["l71_audio_energy"](spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:5]:
+        xs = [ord(c) for c in texts[r["doc_id"]]]
+        n_frames = (len(xs) - L71_WIN) // L71_HOP + 1
+        assert r["n_frames"] == n_frames
+        rms = [
+            math.sqrt(
+                sum(x * x for x in xs[k * L71_HOP : k * L71_HOP + L71_WIN])
+                / L71_WIN
+            )
+            for k in range(n_frames)
+        ]
+        assert abs(r["peak_rms"] - max(rms)) < 1e-3
+        assert 0.0 <= r["silence_ratio"] <= 1.0
+    short = [d for d, t in texts.items() if len(t) < L71_WIN]
+    assert set(r["doc_id"] for r in rows).isdisjoint(short)
