@@ -5911,11 +5911,13 @@ def l65_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: boundary detection, cut positions and chunk assembly
     are ALL array higher-order functions inside one map-side
-    projection (no explode until chunks exist — and the fingerprint
-    array is projected as a real column first, the HOF-closure
-    re-evaluation trap in SCALE.md); the only shuffles are the chunk-
-    fp -> distinct-doc-count agg and the doc rollup, the same two the
-    l43 window audit pays. Nothing driver-side, no global sort."""
+    projection (no explode until chunks exist — and the boundary
+    fingerprint is computed INSIDE its filter lambda: staging it as a
+    separate projected array re-enters it through projection collapse
+    and goes O(n²) — see the inline comment and SCALE.md); the only
+    shuffles are the chunk-fp -> distinct-doc-count agg and the doc
+    rollup, the same two the l43 window audit pays. Nothing
+    driver-side, no global sort."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     chunked = _cdc_chunked(docs)
