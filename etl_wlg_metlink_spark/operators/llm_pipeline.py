@@ -276,6 +276,32 @@ def _banded_lsh_pairs(
     sets. One shuffle for the band join, one for the pair distinct;
     candidate pairs only within band buckets (hash-keyed, so bucket
     count grows with the corpus), never all-pairs."""
+    cand = _banded_candidates(hashed, uh_params, n_bands)
+    # Verify on the distinct integer hash sets (identical hash on both
+    # engines → identical sets → identical jaccard), ~10× cheaper than
+    # intersecting the raw token arrays.
+    hset = F.array_distinct(F.col("hs"))
+    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
+    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
+    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
+        F.array_union("sh_i", "sh_j")
+    )
+    return (
+        cand.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_i", "doc_j", "jaccard")
+    )
+
+
+def _banded_candidates(
+    hashed: DataFrame,
+    uh_params: tuple[tuple[int, int], ...],
+    n_bands: int,
+) -> DataFrame:
+    """Candidate-pair half of the banded pipeline (split out so l72's
+    containment verify can share the exact band construction)."""
     rows = len(uh_params) // n_bands
     sig = hashed.select(
         "doc_id",
@@ -307,22 +333,7 @@ def _banded_lsh_pairs(
         )
         .distinct()
     )
-    # Verify on the distinct integer hash sets (identical hash on both
-    # engines → identical sets → identical jaccard), ~10× cheaper than
-    # intersecting the raw token arrays.
-    hset = F.array_distinct(F.col("hs"))
-    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
-    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
-    jac = F.size(F.array_intersect("sh_i", "sh_j")) / F.size(
-        F.array_union("sh_i", "sh_j")
-    )
-    return (
-        cand.join(si, "doc_i")
-        .join(sj, "doc_j")
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_i", "doc_j", "jaccard")
-    )
+    return cand
 
 
 def _minhash_verified_pairs(
@@ -6672,4 +6683,99 @@ ORACLE["l71_audio_energy"] = f"""
            ROUND(SUM(CASE WHEN r < {L71_SILENCE} THEN 1 ELSE 0 END)
                  / COUNT(*), 4) AS silence_ratio
     FROM rms GROUP BY doc_id
+"""
+
+
+def l72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-aware near-dup classification — Jaccard alone
+    misclassifies the doc-in-doc case (a short doc embedded verbatim
+    in a long one has containment |A∩B|/min(|A|,|B|) ≈ 1 while
+    Jaccard ≈ |A|/|B| can be arbitrarily low). Every l6-style
+    candidate pair gets BOTH measures plus a relation verdict:
+    exact-dup (j ≥ 0.95) > subset (containment ≥ 0.9) > near-dup
+    (j ≥ 0.8) > partial-overlap.
+
+    Recall boundary, stated honestly: candidate generation here is
+    l6's Jaccard-tuned MinHash banding, so a subset pair whose Jaccard
+    is LOW (tiny doc inside huge doc) may never band-collide —
+    catching those at scale needs an asymmetric scheme (the short
+    side's full signature probing the long side's partitioned
+    minima) or the window-granularity route l43/l51 already provide
+    (a contained doc's windows are all duplicated spans). This lane
+    classifies what banding surfaces; it does not claim subset
+    completeness.
+
+    Scale shape: identical to l6 (banded candidates, hash-set verify,
+    persisted hash diamond released after the bounded checkpoint) —
+    one extra least() per pair is free."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
+        "doc_id", _shingles_ws(F.col("ws")).alias("sh")
+    )
+    hashed = base.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias(
+            "hs"
+        ),
+    )
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _banded_candidates(hashed, UH_PARAMS, N_BANDS)
+    hset = F.array_distinct(F.col("hs"))
+    si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
+    sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
+    n_inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    n_i, n_j = F.size("sh_i"), F.size("sh_j")
+    jac = F.round(n_inter / (n_i + n_j - n_inter), 4)
+    cont = F.round(n_inter / F.least(n_i, n_j), 4)
+    relation = (
+        F.when(F.col("jaccard") >= 0.95, "exact-dup")
+        .when(F.col("containment") >= 0.9, "subset")
+        .when(F.col("jaccard") >= 0.8, "near-dup")
+        .otherwise("partial-overlap")
+    )
+    result = (
+        cand.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            jac.alias("jaccard"),
+            cont.alias("containment"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_i", "doc_j", "jaccard", "containment",
+                relation.alias("relation"))
+        .localCheckpoint(eager=True)  # bounded: verified near-dups
+    )
+    hashed.unpersist()
+    return result
+
+
+QUERIES["l72_containment_dedup"] = l72_containment_dedup
+
+_L72_CTE_PREFIX = _DUCK_L6_CTES.rsplit("        v AS (", 1)[0]
+
+ORACLE["l72_containment_dedup"] = f"""
+    WITH {_L72_CTE_PREFIX}
+    v AS (
+      SELECT doc_i, doc_j,
+             len(list_intersect(x.hset, y.hset)) AS n_inter,
+             len(x.hset) AS n_i, len(y.hset) AS n_j
+      FROM cand
+      JOIN hsets x ON x.doc_id = doc_i
+      JOIN hsets y ON y.doc_id = doc_j
+    ),
+    m AS (
+      SELECT doc_i, doc_j,
+             ROUND(n_inter / (n_i + n_j - n_inter), 4) AS jaccard,
+             ROUND(n_inter / least(n_i, n_j), 4) AS containment
+      FROM v
+    )
+    SELECT doc_i, doc_j, jaccard, containment,
+           CASE WHEN jaccard >= 0.95 THEN 'exact-dup'
+                WHEN containment >= 0.9 THEN 'subset'
+                WHEN jaccard >= 0.8 THEN 'near-dup'
+                ELSE 'partial-overlap' END AS relation
+    FROM m WHERE jaccard >= 0.5
 """

@@ -1129,6 +1129,48 @@ def r36_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r37_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: lost revenue per
+    customer from RETURNED lineitems ('R' flag) for orders placed in
+    one quarter, top 20 customers with their nation — the
+    join-then-deep-groupBy shape (the aggregation key is wide:
+    customer identity + nation), whose planner lesson is that the
+    returnflag/date filters must reach the scans BEFORE the 3-way
+    join, cutting the joined volume ~4×/8×.
+
+    Scale shape: both fact filters are parquet-pushed; orders⨝lineitem
+    shuffles on the orderkey once; Q10 groups AFTER the customer join,
+    so the wide-key group-by collapses with map-side partials on the
+    (custkey, name, bal, nation) grain; nation broadcasts. Top-20 is
+    TakeOrderedAndProject with full tie-breaks."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    disc = (_dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            _dec2("c_acctbal").alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "r1_broadcast_dim_join": r1_broadcast_dim_join,
     "r2_three_way_join": r2_three_way_join,
@@ -1166,6 +1208,7 @@ QUERIES = {
     "r34_prospect_customers": r34_prospect_customers,
     "r35_nation_volume_shipping": r35_nation_volume_shipping,
     "r36_market_share": r36_market_share,
+    "r37_returned_item_reporting": r37_returned_item_reporting,
 }
 
 _R21_LAGS = ",\n".join(
@@ -1636,5 +1679,23 @@ ORACLE = {
                CAST(total_rev AS DECIMAL(18,4)) AS total_rev
         FROM agg
         ORDER BY l_year
+    """,
+    "r37_returned_item_reporting": """
+        SELECT c_custkey, c_name,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+               n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """,
 }

@@ -205,6 +205,8 @@ _ORDER = (
     "x19_map_in_arrow",
     "l70_rag_chunk_retrieval",
     "l71_audio_energy",
+    "l72_containment_dedup",
+    "r37_returned_item_reporting",
 )
 
 

@@ -1612,3 +1612,60 @@ def test_l71_frame_count_and_energy_recompute(spark, sf_dir):
         assert 0.0 <= r["silence_ratio"] <= 1.0
     short = [d for d, t in texts.items() if len(t) < L71_WIN]
     assert set(r["doc_id"] for r in rows).isdisjoint(short)
+
+
+def test_l72_containment_dominates_jaccard(spark, sf_dir):
+    """Measure identities: containment >= jaccard always (the min
+    denominator is smaller); verdict precedence matches the rounded
+    values; pairs are ordered and unique."""
+    rows = queries()["l72_containment_dedup"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["doc_i"] < r["doc_j"]
+        assert (r["doc_i"], r["doc_j"]) not in seen
+        seen.add((r["doc_i"], r["doc_j"]))
+        assert r["containment"] >= r["jaccard"] - 1e-9
+        if r["jaccard"] >= 0.95:
+            expect = "exact-dup"
+        elif r["containment"] >= 0.9:
+            expect = "subset"
+        elif r["jaccard"] >= 0.8:
+            expect = "near-dup"
+        else:
+            expect = "partial-overlap"
+        assert r["relation"] == expect
+
+
+def test_r37_only_returned_quarter_revenue(spark, sf_dir):
+    """Top-20 discipline and filter correctness: revenue descends, and
+    the top customer's revenue re-derives from a direct filtered
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    rows = queries()["r37_returned_item_reporting"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [float(r["revenue"]) for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    top = rows[0]
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        & (F.col("o_custkey") == top["c_custkey"])
+    )
+    direct = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(18,4)")
+            ).alias("rev")
+        )
+        .first()["rev"]
+    )
+    assert abs(float(direct) - float(top["revenue"])) < 1e-6
