@@ -442,8 +442,11 @@ def x19_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             # mod 251 per text (codepoints, not bytes, so the DuckDB
             # twin is unicode()-expressible)
             arr = text.to_pylist()
+            # degenerate-row guard: None/empty text checksums to 0 so
+            # the lane agrees with the oracle's COALESCE(list_sum,0)
+            # (list_sum over an empty list is NULL in DuckDB)
             chk = pa.array(
-                [sum(ord(c) for c in t) % 251 for t in arr],
+                [0 if not t else sum(ord(c) for c in t) % 251 for t in arr],
                 type=pa.int64(),
             )
             yield pa.RecordBatch.from_arrays(
@@ -674,8 +677,8 @@ ORACLE["x19_map_in_arrow"] = """
     WITH b AS (
       SELECT doc_id, lang,
              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             list_sum(list_transform(string_split(text, ''),
-                      c -> unicode(c))) % 251 AS checksum
+             COALESCE(list_sum(list_transform(string_split(text, ''),
+                      c -> unicode(c))), 0) % 251 AS checksum
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,

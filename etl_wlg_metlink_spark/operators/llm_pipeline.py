@@ -5778,7 +5778,7 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.range(L64_BUCKETS).select(F.col("id").alias("b"))
     llr = (
         spine.join(counts, "b", "left")
-        .crossJoin(tots)
+        .crossJoin(F.broadcast(tots))
         .select(
             "b",
             (

@@ -903,10 +903,14 @@ def r32_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the brand filter cuts part to ~1/25 BEFORE anything
     touches lineitem, and that small part side broadcasts into both the
-    threshold aggregation and the final filter join, so lineitem is
-    scanned once, shuffled once (the per-part avg), and the rejoin is
-    threshold-side small (one row per surviving part — broadcast at any
-    SF, because thresholds are bounded by |part|)."""
+    threshold aggregation and the final filter join. `branded` has two
+    consumers and is deliberately NOT persisted, so the physical plan
+    scans lineitem twice — both scans pruned to 3 columns and filtered
+    by the broadcast part side at the join. At 100 TB the branded
+    intermediate is ~4% of lineitem (still TBs), so two cheap pruned
+    columnar scans beat materializing it; the only shuffle is the
+    per-part avg, and the rejoin is threshold-side small (one row per
+    surviving part — broadcast at any SF, bounded by |part|)."""
     part = load(spark, sf_dir, "part").where(
         F.col("p_brand") == "Brand#23"
     ).select("p_partkey")

@@ -16,6 +16,9 @@ forever.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 import uuid
 from collections.abc import Callable
 
@@ -43,6 +46,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(stream)
 
 
+_TEMP_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp that the process cleans up after itself: every staging /
+    ledger / checkpoint dir is registered here and removed at exit, so
+    repeated bench/test runs in one interpreter don't accumulate temp
+    directories on disk (ADVICE r06). Dirs cached for intra-process
+    reuse (_WATCH_DIRS etc.) stay alive until exit by design."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_temp_dirs() -> None:
+    while _TEMP_DIRS:
+        shutil.rmtree(_TEMP_DIRS.pop(), ignore_errors=True)
+
+
 #: one symlink dir per source file per process — repeated calls
 #: (driver gate, bench warm+timed, tests) must not leak temp dirs
 _WATCH_DIRS: dict[str, str] = {}
@@ -53,10 +76,9 @@ def _watch_dir_for(path: str) -> str:
     single read-only file, so expose it through a cached temp dir of
     symlinks (what a real deployment's landing directory is anyway)."""
     import os
-    import tempfile
 
     if path not in _WATCH_DIRS:
-        watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+        watch_dir = _tracked_mkdtemp(prefix="events_stream_")
         os.symlink(path, os.path.join(watch_dir, os.path.basename(path)))
         _WATCH_DIRS[path] = watch_dir
     return _WATCH_DIRS[path]
@@ -215,13 +237,12 @@ def staged_documents_dir(spark: SparkSession, sf_dir: str, n_batches: int) -> st
     in doc_id order — batch 1 holds the smallest doc_ids. Real ingest
     is exactly this: a landing directory filling over time."""
     import os
-    import tempfile
 
     key = (sf_dir, n_batches)
     if key not in _INGEST_STAGE_DIRS:
         from etl_wlg_metlink_spark.tables import load
 
-        stage = tempfile.mkdtemp(prefix="docs_ingest_")
+        stage = _tracked_mkdtemp(prefix="docs_ingest_")
         (
             load(spark, sf_dir, "documents")
             .repartitionByRange(n_batches, "doc_id")
@@ -258,7 +279,6 @@ def corpus_ingest_dedup_run(
     Because the staged replay ascends in doc_id, first-arrival
     equals global min-doc_id per fingerprint, which is what makes the
     result batch-oracle-checkable (l5's window rule)."""
-    import tempfile
 
     from etl_wlg_metlink_spark.session import ensure_engine_conf
 
@@ -270,7 +290,7 @@ def corpus_ingest_dedup_run(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    out = tempfile.mkdtemp(prefix="docs_dedup_")
+    out = _tracked_mkdtemp(prefix="docs_dedup_")
     survivors_dir = f"{out}/survivors"
     checkpoint_dir = f"{out}/checkpoint"
 
@@ -706,13 +726,12 @@ def staged_events_dir(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
     behind the watermark — zero late drops, so the final streaming
     counts equal the batch aggregation exactly."""
     import os
-    import tempfile
 
     key = (sf_dir, n_batches)
     if key not in _EVENT_STAGE_DIRS:
         from etl_wlg_metlink_spark.tables import load
 
-        stage = tempfile.mkdtemp(prefix="events_ingest_")
+        stage = _tracked_mkdtemp(prefix="events_ingest_")
         (
             load(spark, sf_dir, "events")
             .repartitionByRange(n_batches, "ts")
@@ -749,7 +768,6 @@ def trending_topk_run(
     (windows x types x batches)-bounded ledger, never the event
     stream. Exactness across batch splits is the staged_events_dir
     invariant (ts-range staging -> zero late drops)."""
-    import tempfile
 
     from pyspark.sql import Window
     from etl_wlg_metlink_spark.session import ensure_engine_conf
@@ -779,8 +797,8 @@ def trending_topk_run(
             "sum_value",
         )
     )
-    ledger_dir = tempfile.mkdtemp(prefix="trending_ledger_")
-    checkpoint_dir = tempfile.mkdtemp(prefix="trending_ckpt_")
+    ledger_dir = _tracked_mkdtemp(prefix="trending_ledger_")
+    checkpoint_dir = _tracked_mkdtemp(prefix="trending_ckpt_")
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent keyed upsert, ledger form: append the batch's
@@ -810,6 +828,13 @@ def trending_topk_run(
         .where(F.col("rn") == 1)
         .drop("rn", "batch_id")
     )
+    # the compaction is (windows × types)-bounded, so materialize it
+    # eagerly (lineage cut from the ledger files) and reclaim the
+    # ledger + checkpoint dirs NOW instead of at process exit — one
+    # invocation leaves zero disk residue behind
+    final = final.localCheckpoint(eager=True)
+    for d in (ledger_dir, checkpoint_dir):
+        shutil.rmtree(d, ignore_errors=True)
     w_rank = Window.partitionBy("window_start").orderBy(
         F.col("n").desc(), "event_type"
     )

@@ -1259,8 +1259,9 @@ def test_l60_key_formula_and_weighting(spark, sf_dir):
 
 
 def test_l61_estimate_tracks_exact(spark, sf_dir):
-    """Sketch contract: the 8-perm MinHash estimate is within 2/8 of
-    the exact Jaccard for every source pair, and set algebra holds."""
+    """Sketch contract: the 8-perm MinHash estimate is within 3/8 of
+    the exact Jaccard for every source pair (l61's documented bound),
+    and set algebra holds."""
     rows = queries()["l61_domain_jaccard"](spark, sf_dir).collect()
     assert rows
     for r in rows:
