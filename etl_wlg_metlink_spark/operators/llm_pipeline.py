@@ -6686,28 +6686,47 @@ ORACLE["l71_audio_energy"] = f"""
 """
 
 
+#: l72 asymmetric-candidate knobs: a probe doc only pairs with
+#: containers ≥ RATIO× its distinct-shingle count (symmetric sizes are
+#: l6 banding's domain), and shingles with document frequency above
+#: MAX_DF are stop-shingles — dropped from the postings index so the
+#: probe join's fanout is bounded by MAX_DF (skew guard; a subset pair
+#: is missed only if ALL N_MINHASH of its argmin shingles are stop-
+#: shingles, probability ≈ (stop fraction)^8).
+L72_ASYM_RATIO = 2
+L72_MAX_DF = 50
+
+
 def l72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment-aware near-dup classification — Jaccard alone
     misclassifies the doc-in-doc case (a short doc embedded verbatim
     in a long one has containment |A∩B|/min(|A|,|B|) ≈ 1 while
-    Jaccard ≈ |A|/|B| can be arbitrarily low). Every l6-style
-    candidate pair gets BOTH measures plus a relation verdict:
-    exact-dup (j ≥ 0.95) > subset (containment ≥ 0.9) > near-dup
-    (j ≥ 0.8) > partial-overlap.
+    Jaccard ≈ |A|/|B| can be arbitrarily low). Every candidate pair
+    gets BOTH measures plus a relation verdict: exact-dup (j ≥ 0.95)
+    > subset (containment ≥ 0.9) > near-dup (j ≥ 0.8) >
+    partial-overlap; pairs survive on jaccard ≥ 0.5 OR
+    containment ≥ 0.9.
 
-    Recall boundary, stated honestly: candidate generation here is
-    l6's Jaccard-tuned MinHash banding, so a subset pair whose Jaccard
-    is LOW (tiny doc inside huge doc) may never band-collide —
-    catching those at scale needs an asymmetric scheme (the short
-    side's full signature probing the long side's partitioned
-    minima) or the window-granularity route l43/l51 already provide
-    (a contained doc's windows are all duplicated spans). This lane
-    classifies what banding surfaces; it does not claim subset
-    completeness.
+    Candidates come from TWO schemes, unioned:
+    1. l6's symmetric Jaccard-tuned MinHash banding (near-dups of
+       comparable size band-collide with prob 1-(1-j²)⁴).
+    2. An asymmetric containment probe closing the tiny-doc-in-huge-
+       doc recall gap banding cannot see: for each permutation s, the
+       probe doc's ARGMIN shingle-hash h*_s (the original hash
+       minimizing perm_s — min-wise sampling picks a uniformly random
+       distinct shingle) looks up a df-capped postings index of all
+       docs. If containment(A→B) = c, each probe lands in A∩B with
+       probability c, so a true subset (c ≈ 1) is caught by EVERY
+       permutation, and c ≥ 0.5 escapes all 8 probes with prob
+       ≤ (1-c)⁸ < 0.4%. Containers must be ≥ 2× the probe's size —
+       comparable-size pairs are scheme 1's job.
 
-    Scale shape: identical to l6 (banded candidates, hash-set verify,
-    persisted hash diamond released after the bounded checkpoint) —
-    one extra least() per pair is free."""
+    Scale shape: scheme 2 adds one postings explode (rows = total
+    distinct shingles, linear in corpus), one df aggregation, and a
+    join whose per-key fanout is capped at L72_MAX_DF — no all-pairs,
+    no skew. Verify is l6's hash-set intersect on the unioned,
+    distinct candidate set; the persisted hash diamond is released
+    after the bounded checkpoint."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
@@ -6720,7 +6739,67 @@ def l72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    cand = _banded_candidates(hashed, UH_PARAMS, N_BANDS)
+    cand_sym = _banded_candidates(hashed, UH_PARAMS, N_BANDS)
+
+    # --- scheme 2: asymmetric containment probes ---------------------
+    hn = hashed.select(
+        "doc_id", F.array_distinct("hs").alias("hset")
+    ).where(F.size("hset") > 0)
+    # pre-project the per-permutation minima as plain attributes so the
+    # argmin filter's lambda doesn't re-evaluate array_min per element
+    # (the HOF-CSE trap documented on _shingles_ws)
+    minima = hn.select(
+        "doc_id",
+        "hset",
+        *[
+            F.array_min(
+                F.transform(F.col("hset"), _uh_perm(a, b))
+            ).alias(f"m{s}")
+            for s, (a, b) in enumerate(UH_PARAMS)
+        ],
+    )
+    def _argmin_fn(a, b, s):
+        # closure factory: Spark derives HOF arity from the lambda
+        # signature, so defaults can't be used to bind loop variables
+        def f(x):
+            return _uh_perm(a, b)(x) == F.col(f"m{s}")
+
+        return f
+
+    argmins = [
+        F.get(F.filter(F.col("hset"), _argmin_fn(a, b, s)), 0)
+        for s, (a, b) in enumerate(UH_PARAMS)
+    ]
+    probe = minima.select(
+        F.col("doc_id").alias("p_doc"),
+        F.size("hset").alias("p_n"),
+        F.explode(F.array_distinct(F.array(*argmins))).alias("h"),
+    ).where(F.col("h").isNotNull())
+    post = hn.select(
+        F.col("doc_id").alias("c_doc"),
+        F.size("hset").alias("c_n"),
+        F.explode("hset").alias("h"),
+    )
+    rare = (
+        post.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= L72_MAX_DF)
+        .select("h")
+    )
+    cand_asym = (
+        probe.join(post.join(rare, "h"), "h")
+        .where(
+            (F.col("p_doc") != F.col("c_doc"))
+            & (F.col("c_n") >= L72_ASYM_RATIO * F.col("p_n"))
+        )
+        .select(
+            F.least("p_doc", "c_doc").alias("doc_i"),
+            F.greatest("p_doc", "c_doc").alias("doc_j"),
+        )
+    )
+    cand = cand_sym.unionByName(cand_asym).distinct()
+
+    # --- exact verify on the unioned candidates ----------------------
     hset = F.array_distinct(F.col("hs"))
     si = hashed.select(F.col("doc_id").alias("doc_i"), hset.alias("sh_i"))
     sj = hashed.select(F.col("doc_id").alias("doc_j"), hset.alias("sh_j"))
@@ -6743,7 +6822,7 @@ def l72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
             cont.alias("containment"),
         )
-        .where(F.col("jaccard") >= 0.5)
+        .where((F.col("jaccard") >= 0.5) | (F.col("containment") >= 0.9))
         .select("doc_i", "doc_j", "jaccard", "containment",
                 relation.alias("relation"))
         .localCheckpoint(eager=True)  # bounded: verified near-dups
@@ -6756,13 +6835,49 @@ QUERIES["l72_containment_dedup"] = l72_containment_dedup
 
 _L72_CTE_PREFIX = _DUCK_L6_CTES.rsplit("        v AS (", 1)[0]
 
+#: per-permutation ARGMIN shingle-hash exprs, generated from the same
+#: UH_PARAMS the Spark probe uses — [1] on the bijection-filtered list
+#: is the unique original hash whose permuted value is the minimum
+_L72_ARGMINS = ", ".join(
+    f"list_filter(hset, x -> (x * {a} + {b}) % {MERSENNE_P} = "
+    f"list_min(list_transform(hset, x -> (x * {a} + {b}) % {MERSENNE_P})))[1]"
+    for a, b in UH_PARAMS
+)
+
 ORACLE["l72_containment_dedup"] = f"""
     WITH {_L72_CTE_PREFIX}
+    hn AS (
+      SELECT doc_id, hset, len(hset) AS n FROM hsets WHERE len(hset) > 0
+    ),
+    probe AS (
+      SELECT doc_id AS p_doc, n AS p_n,
+             unnest(list_distinct([{_L72_ARGMINS}])) AS h
+      FROM hn
+    ),
+    post AS (
+      SELECT doc_id AS c_doc, n AS c_n, unnest(hset) AS h FROM hn
+    ),
+    rare AS (
+      SELECT h FROM post GROUP BY h HAVING COUNT(*) <= {L72_MAX_DF}
+    ),
+    asym AS (
+      SELECT DISTINCT least(p_doc, c_doc) AS doc_i,
+                      greatest(p_doc, c_doc) AS doc_j
+      FROM probe
+      JOIN (SELECT post.* FROM post JOIN rare USING (h)) p USING (h)
+      WHERE p_doc <> c_doc AND c_n >= {L72_ASYM_RATIO} * p_n
+            AND h IS NOT NULL
+    ),
+    cand2 AS (
+      SELECT doc_i, doc_j FROM cand
+      UNION
+      SELECT doc_i, doc_j FROM asym
+    ),
     v AS (
       SELECT doc_i, doc_j,
              len(list_intersect(x.hset, y.hset)) AS n_inter,
              len(x.hset) AS n_i, len(y.hset) AS n_j
-      FROM cand
+      FROM cand2
       JOIN hsets x ON x.doc_id = doc_i
       JOIN hsets y ON y.doc_id = doc_j
     ),
@@ -6777,5 +6892,5 @@ ORACLE["l72_containment_dedup"] = f"""
                 WHEN containment >= 0.9 THEN 'subset'
                 WHEN jaccard >= 0.8 THEN 'near-dup'
                 ELSE 'partial-overlap' END AS relation
-    FROM m WHERE jaccard >= 0.5
+    FROM m WHERE jaccard >= 0.5 OR containment >= 0.9
 """

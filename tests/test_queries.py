@@ -1638,6 +1638,42 @@ def test_l72_containment_dominates_jaccard(spark, sf_dir):
         assert r["relation"] == expect
 
 
+def test_l72_asymmetric_probe_finds_planted_subset(spark, tmp_path):
+    """The recall case Jaccard-tuned banding cannot see: a tiny doc
+    embedded verbatim in a huge one (Jaccard < 0.2, containment 1.0)
+    MUST surface via the asymmetric argmin-probe candidates with
+    relation 'subset'; an unrelated doc must pair with nothing."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l72_containment_dedup,
+    )
+
+    tiny = " ".join(f"quote{i}" for i in range(12))  # 10 shingles
+    huge = (
+        " ".join(f"host{i}" for i in range(60))
+        + " " + tiny + " "
+        + " ".join(f"tail{i}" for i in range(60))
+    )
+    rows = [
+        (1, tiny, "en", "web", len(tiny)),
+        (2, huge, "en", "web", len(huge)),
+        (3, " ".join(f"other{i}" for i in range(40)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_i"], r["doc_j"]): r
+        for r in l72_containment_dedup(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got, "asymmetric probe missed the planted subset pair"
+    pair = got[(1, 2)]
+    assert pair["jaccard"] < 0.2
+    assert pair["containment"] > 0.95
+    assert pair["relation"] == "subset"
+    assert all(3 not in k for k in got)
+
+
 def test_r37_only_returned_quarter_revenue(spark, sf_dir):
     """Top-20 discipline and filter correctness: revenue descends, and
     the top customer's revenue re-derives from a direct filtered
