@@ -6894,3 +6894,241 @@ ORACLE["l72_containment_dedup"] = f"""
                 ELSE 'partial-overlap' END AS relation
     FROM m WHERE jaccard >= 0.5 OR containment >= 0.9
 """
+
+
+# --------------------------------------------------------------------------
+# Image modality: perceptual-hash near-dup (l73)
+# --------------------------------------------------------------------------
+
+#: l73 aHash geometry and verify threshold. 64 "pixels" → 64-bit
+#: average hash held as 8 band BYTES (no 64-bit assembly — bit 63 of a
+#: signed BIGINT would overflow under ANSI math; band bytes max out at
+#: 255 on both engines). Two-tier recall, stated exactly: any pair
+#: with Hamming ≤ 7 shares at least one band byte (pigeonhole over 8
+#: bands of 8 bits) — GUARANTEED candidates; pairs at 8..14 surface
+#: whenever any band happens to collide — best-effort, and mirrored
+#: bit-for-bit in the oracle (same banding), so the two engines agree
+#: on exactly which best-effort pairs appear.
+L73_PIXELS = 64
+L73_BANDS = 8
+L73_HAMMING_MAX = 14
+
+
+def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality near-dup via perceptual average-hash — the l8
+    SimHash shape applied to pixels, completing the text / binary /
+    frames / audio / image modality matrix. Real pipelines decode
+    JPEG/PNG payloads and downsample to an 8×8 grayscale grid; the
+    codec libs aren't in this container, so the DECODE is a
+    deterministic stand-in (mean codepoint per 64 evenly-bucketed
+    payload slices — a smooth function of content, so near-identical
+    payloads yield near-identical "images", unlike an md5 fake). The
+    Spark-side plumbing is the real 100 TB pattern: Arrow-batched
+    mapInArrow decode (numpy bincount per batch, no per-pixel Python),
+    JVM-side aHash bit assembly, band-bucketed candidate join, exact
+    Hamming verify.
+
+    aHash: bit_i = (64·pixel_i ≥ Σpixels) — integer-exact in both
+    engines (no float average). Candidates: any shared (band, byte);
+    verify: Σ popcount(byte_a XOR byte_b) ≤ 14 over the 8 bands
+    (≤ 7 pigeonhole-guaranteed, 8–14 best-effort — see L73_PIXELS
+    comment). Corpus note, stated honestly: the synthetic corpus's
+    near-dup texts are bag-of-words shuffles over a shared vocabulary
+    — DIFFERENT images under any translation-sensitive perceptual
+    hash — so natural pairs here sit at Hamming ≥ 9; byte-identical
+    payloads (Hamming 0) and single-edit payloads (Hamming ≤ 2) are
+    pinned by the planted-fixture test instead.
+
+    Scale shape: decode is map-only 1:1; banding explodes 8 rows/doc
+    and joins hash-bucketed (bucket count grows with the corpus —
+    never all-pairs, same argument as l6/l8); verify touches candidate
+    pairs only, via the 8-byte band arrays (zip_with + bit_count, all
+    codegen)."""
+    import numpy as np
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def decode(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            pxs = []
+            for t in batch.column("text").to_pylist():
+                if not t:
+                    pxs.append([0] * L73_PIXELS)
+                    continue
+                # vectorized codepoints (utf-32-le reinterpret), then
+                # bucket p → (p·64)//n and mean per bucket
+                cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                n = len(cps)
+                buckets = (np.arange(n, dtype=np.int64) * L73_PIXELS) // n
+                sums = np.bincount(
+                    buckets, weights=cps.astype(np.float64),
+                    minlength=L73_PIXELS,
+                )
+                cnts = np.bincount(buckets, minlength=L73_PIXELS)
+                px = np.zeros(L73_PIXELS, dtype=np.int64)
+                nz = cnts > 0
+                px[nz] = sums[nz].astype(np.int64) // cnts[nz]
+                pxs.append(px.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(pxs, type=pa.list_(pa.int32()))],
+                names=["doc_id", "px"],
+            )
+
+    pixels = docs.mapInArrow(decode, "doc_id long, px array<int>")
+    # pre-project the pixel total (HOF-CSE trap: a computed total
+    # embedded in the bit lambda would re-sum 64 pixels per bit)
+    with_total = pixels.select(
+        "doc_id",
+        "px",
+        F.aggregate(
+            "px", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+    rows_per = L73_PIXELS // L73_BANDS
+    bits = with_total.select(
+        "doc_id",
+        F.transform(
+            "px",
+            lambda x: F.when(
+                x.cast("long") * L73_PIXELS >= F.col("total"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("bits"),
+    )
+    # band byte k = Σ_j bits[8k+j]·2^j — unrolled element_at sums
+    # (fixed 8×8 geometry, stays in whole-stage codegen, no HOF)
+    def _byte_expr(k):
+        e = None
+        for j in range(rows_per):
+            term = F.element_at("bits", k * rows_per + j + 1) * F.lit(1 << j)
+            e = term if e is None else e + term
+        return e
+
+    sig = bits.select(
+        "doc_id",
+        F.array(*[_byte_expr(k) for k in range(L73_BANDS)]).alias("bands"),
+    )
+    sig = sig.localCheckpoint(eager=True)  # decode+hash once, not per branch
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.element_at("bands", k + 1).alias("band_key"),
+        )
+        for k in range(L73_BANDS)
+    ]
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    bi = sig.select(F.col("doc_id").alias("doc_i"), F.col("bands").alias("bands_i"))
+    bj = sig.select(F.col("doc_id").alias("doc_j"), F.col("bands").alias("bands_j"))
+    hamming = F.aggregate(
+        F.zip_with(
+            "bands_i",
+            "bands_j",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(bi, "doc_i")
+        .join(bj, "doc_j")
+        .select("doc_i", "doc_j", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= L73_HAMMING_MAX)
+    )
+
+
+QUERIES["l73_image_phash_neardup"] = l73_image_phash_neardup
+
+#: the aHash pipeline in DuckDB, generated from the same geometry
+#: constants: positional-zip unnest → bucket means → integer-exact
+#: bits → band bytes → band-bucket candidates → Hamming verify.
+_L73_BYTES = ", ".join(
+    "CAST("
+    + " + ".join(
+        f"b{8 * k + j} * {1 << j}" for j in range(8)
+    )
+    + f" AS INT) AS byte{k}"
+    for k in range(L73_BANDS)
+)
+_L73_BITS = ",\n".join(
+    f"CASE WHEN 64 * pv{i} >= total THEN 1 ELSE 0 END AS b{i}"
+    for i in range(L73_PIXELS)
+)
+_L73_PV = ", ".join(
+    f"COALESCE(MAX(CASE WHEN b = {i} THEN pv END), 0) AS pv{i}"
+    for i in range(L73_PIXELS)
+)
+_L73_PV0 = ", ".join(
+    f"COALESCE(pv{i}, 0) AS pv{i}" for i in range(L73_PIXELS)
+)
+_L73_TOTAL = " + ".join(f"pv{i}" for i in range(L73_PIXELS))
+_L73_BAND_VALUES = ", ".join(f"({k})" for k in range(L73_BANDS))
+_L73_BYTE_CASE = " ".join(
+    f"WHEN {k} THEN byte{k}" for k in range(L73_BANDS)
+)
+_L73_HAMMING = " + ".join(
+    f"bit_count(xor(x.byte{k}::BIGINT, y.byte{k}::BIGINT))"
+    for k in range(L73_BANDS)
+)
+
+ORACLE["l73_image_phash_neardup"] = f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(cs) AS c,
+             unnest(range(0, len(cs))) AS p,
+             len(cs) AS n
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+      WHERE len(cs) > 0
+    ),
+    bux AS (
+      SELECT doc_id, (p * {L73_PIXELS}) // n AS b, unicode(c) AS cp
+      FROM chars
+    ),
+    pxg AS (
+      SELECT doc_id, b, SUM(cp) // COUNT(*) AS pv
+      FROM bux GROUP BY doc_id, b
+    ),
+    px AS (
+      SELECT doc_id, {_L73_PV} FROM pxg GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, {_L73_PV0}
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN px USING (doc_id)
+    ),
+    bits AS (
+      SELECT doc_id, {_L73_BITS}
+      FROM (SELECT *, {_L73_TOTAL} AS total FROM base)
+    ),
+    bytes AS (
+      SELECT doc_id, {_L73_BYTES} FROM bits
+    ),
+    bands AS (
+      SELECT doc_id, k.band_id,
+             CASE k.band_id {_L73_BYTE_CASE} END AS band_key
+      FROM bytes, (VALUES {_L73_BAND_VALUES}) AS k(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j, CAST({_L73_HAMMING} AS INT) AS hamming
+    FROM cand
+    JOIN bytes x ON x.doc_id = doc_i
+    JOIN bytes y ON y.doc_id = doc_j
+    WHERE {_L73_HAMMING} <= {L73_HAMMING_MAX}
+"""

@@ -207,6 +207,8 @@ _ORDER = (
     "l71_audio_energy",
     "l72_containment_dedup",
     "r37_returned_item_reporting",
+    "l73_image_phash_neardup",
+    "s13_streaming_ann_ingest",
 )
 
 

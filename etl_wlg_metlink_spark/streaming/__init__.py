@@ -549,3 +549,43 @@ ORACLE["s12_trending_topk"] = """
       FROM counts
     ) WHERE rnk <= 3
 """
+
+
+def s13_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: vectors arrive as 4 micro-
+    batches, each assigned to its max-cosine IVF cell against the
+    broadcast fixed quantizer inside foreachBatch, upserted into a
+    keyed ledger, compacted last-write-wins on the serving read
+    (runners.ivf_ingest_run — the streaming twin of l17's batch
+    build). Cell assignment is per-vector, so the serving table equals
+    the batch assignment exactly — the oracle is l17's assign CTE."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.ivf_ingest_run(spark, sf_dir)
+    )
+
+
+QUERIES["s13_streaming_ann_ingest"] = s13_streaming_ann_ingest
+
+from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
+    _DUCK_COSINE_CORPUS,
+    IVF_SEED_MOD,
+)
+
+ORACLE["s13_streaming_ann_ingest"] = f"""
+    WITH c AS ({_DUCK_COSINE_CORPUS}),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+      FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+    )
+    SELECT vec_id, cell FROM (
+      SELECT c.vec_id, seed_id AS cell,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                 / (c.norm * sn) DESC,
+               seed_id) AS ar
+      FROM c, seeds
+    ) WHERE ar = 1
+"""

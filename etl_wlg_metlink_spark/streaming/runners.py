@@ -843,3 +843,118 @@ def trending_topk_run(
         .where(F.col("rnk") <= k)
         .select("window_start", "rnk", "event_type", "n", "sum_value")
     )
+
+
+_EMB_STAGE_DIRS: dict[tuple[str, int], str] = {}
+
+
+def staged_embeddings_dir(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
+    """embeddings.parquet staged as n_batches vec_id-range files with
+    ascending mtimes — the vector twin of staged_documents_dir, so the
+    file-stream source replays deterministic micro-batches of arriving
+    vectors in vec_id order."""
+    import os
+
+    key = (sf_dir, n_batches)
+    if key not in _EMB_STAGE_DIRS:
+        from etl_wlg_metlink_spark.tables import load
+
+        stage = _tracked_mkdtemp(prefix="emb_ingest_")
+        (
+            load(spark, sf_dir, "embeddings")
+            .repartitionByRange(n_batches, "vec_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+        base = 1_700_000_000
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(stage, f), (base + i, base + i))
+        _EMB_STAGE_DIRS[key] = stage
+    return _EMB_STAGE_DIRS[key]
+
+
+def ivf_ingest_run(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Streaming ANN index maintenance (s13) — the streaming twin of
+    l17's batch IVF build: vectors arrive as micro-batches and each
+    batch is assigned to its max-cosine coarse cell against the
+    BROADCAST seed set inside foreachBatch (stream-static, the trained
+    quantizer is fixed ahead of ingest exactly as in production —
+    FAISS-style IVF serves while adding), appended to a keyed storage
+    ledger, and compacted last-write-wins per vec_id on the serving
+    read — a re-ingested vector upserts its cell, same ledger shape as
+    s12.
+
+    Scale shape: per batch, ONE broadcast join (batch × seed set, seed
+    count ∝ corpus/IVF_SEED_MOD but bounded per deployment epoch) +
+    one partial-agg argmax shuffle on vec_id — the batch never joins
+    the already-ingested corpus; ledger growth is ingested-vectors,
+    and compaction is one keyed window over it. The final serving
+    table EQUALS l17's batch assignment on the same data (the oracle),
+    because cell assignment is per-vector — independent of arrival
+    order and batch splits."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _ivf_assign,
+        _ivf_corpus_seeds,
+    )
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+    from etl_wlg_metlink_spark.tables import load
+
+    ensure_engine_conf(spark)
+    stage = staged_embeddings_dir(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    # the fixed coarse quantizer: seeds from the full static table
+    _, seeds = _ivf_corpus_seeds(load(spark, sf_dir, "embeddings"))
+    ledger_dir = _tracked_mkdtemp(prefix="ivf_ledger_")
+    checkpoint_dir = _tracked_mkdtemp(prefix="ivf_ckpt_")
+
+    def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = batch_df.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "embedding",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("norm"),
+        )
+        (
+            _ivf_assign(corpus, seeds)
+            .select("vec_id", "cell", F.lit(batch_id).alias("batch_id"))
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    ledger = spark.read.parquet(ledger_dir)
+    w_last = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
+    serving = (
+        ledger.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)  # bounded: one row per vector
+    )
+    for d in (ledger_dir, checkpoint_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    return serving

@@ -1674,6 +1674,39 @@ def test_l72_asymmetric_probe_finds_planted_subset(spark, tmp_path):
     assert all(3 not in k for k in got)
 
 
+def test_l73_planted_near_identical_images(spark, tmp_path):
+    """Perceptual-hash ground truth: a byte-identical payload pair
+    must verify at Hamming 0; a single-character edit of the same
+    payload (same length → perfectly aligned pixel buckets, one bucket
+    mean nudged) must land within a couple of bits; an unrelated
+    payload must pair with neither."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l73_image_phash_neardup,
+    )
+
+    base = " ".join(f"pixel{i:03d}" for i in range(80))
+    edited = base.replace("pixel040", "pixel04z")  # same length, 1 char
+    other = " ".join(f"zz{i * 7 % 97:02d}q" for i in range(120))
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),       # byte-identical
+        (3, edited, "en", "web", len(edited)),   # one-char edit
+        (4, other, "en", "web", len(other)),     # unrelated
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_i"], r["doc_j"]): r["hamming"]
+        for r in l73_image_phash_neardup(spark, str(tmp_path)).collect()
+    }
+    assert got.get((1, 2)) == 0, "byte-identical payloads must hash equal"
+    assert (1, 3) in got and got[(1, 3)] <= 2, "single edit must stay local"
+    assert got[(2, 3)] == got[(1, 3)]
+    assert all(4 not in k for k in got)
+
+
 def test_r37_only_returned_quarter_revenue(spark, sf_dir):
     """Top-20 discipline and filter correctness: revenue descends, and
     the top customer's revenue re-derives from a direct filtered

@@ -912,3 +912,29 @@ def test_s12_trending_invariant_to_batch_split(spark, sf_dir):
     for w, rnks in by_w.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= 3
+
+
+def test_s13_streaming_ivf_matches_batch_assignment(spark, sf_dir):
+    """VERDICT r06 stretch: the streaming ANN ingest's final serving
+    table must equal l17's batch IVF assignment on the same data (cell
+    assignment is per-vector — arrival order and batch splits must not
+    matter), and a 1-batch replay must agree with the 4-batch one."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _ivf_assign,
+        _ivf_corpus_seeds,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    four = runners.ivf_ingest_run(spark, sf_dir, n_batches=4)
+    got4 = {r["vec_id"]: r["cell"] for r in four.collect()}
+
+    corpus, seeds = _ivf_corpus_seeds(load(spark, sf_dir, "embeddings"))
+    batch = {
+        r["vec_id"]: r["cell"]
+        for r in _ivf_assign(corpus, seeds).select("vec_id", "cell").collect()
+    }
+    assert got4 == batch
+
+    one = runners.ivf_ingest_run(spark, sf_dir, n_batches=1)
+    got1 = {r["vec_id"]: r["cell"] for r in one.collect()}
+    assert got1 == batch
