@@ -66,10 +66,11 @@ def main() -> None:
     ap.add_argument(
         "--fresh-session",
         type=int,
-        default=0,
+        default=10,
         metavar="N",
         help="after the suite, re-time the N slowest queries in a new "
-        "SparkSession and report shared-vs-fresh per query",
+        "SparkSession and report shared-vs-fresh per query (standing "
+        "mode per VERDICT r06 — default 10 for full runs; 0 disables)",
     )
     args = ap.parse_args()
 
@@ -92,7 +93,17 @@ def main() -> None:
     for name, fn in all_queries.items():
         timings[name] = round(_time_query(spark, fn, sf_dir), 3)
 
+    # per-sf detail file: the standing fresh-session regression gate
+    # compares sf0.1 rounds against each other; a scale-proof run at
+    # another sf banks beside it instead of clobbering the record
+    suffix = "" if abs(sf - 0.1) < 1e-9 else f"_sf{sf:g}"
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL{suffix}.json",
+    )
     fresh: dict[str, float] = {}
+    if args.only:
+        args.fresh_session = 0  # partial runs: no fresh pass, no banking
     if args.fresh_session:
         worst = sorted(timings, key=lambda n: -timings[n])[: args.fresh_session]
         # Tear the session down and rebuild: same JVM (py4j gateway
@@ -103,6 +114,13 @@ def main() -> None:
         spark = build_session(app_name="bench_fresh")
         for name in worst:
             fresh[name] = round(_time_query(spark, queries()[name], sf_dir), 3)
+        # prior round's banked fresh times, for the regression gate
+        prior_fresh: dict[str, float] = {}
+        try:
+            with open(detail_path) as f:
+                prior_fresh = json.load(f).get("fresh_session", {})
+        except (OSError, ValueError):
+            pass
         for name in worst:
             shared_t, fresh_t = timings[name], fresh[name]
             ratio = round(shared_t / fresh_t, 2) if fresh_t > 0 else None
@@ -111,6 +129,14 @@ def main() -> None:
                 f"fresh={fresh_t}s shared/fresh={ratio}",
                 file=sys.stderr,
             )
+            prev = prior_fresh.get(name)
+            if prev and prev > 0 and fresh_t > 2 * prev:
+                print(
+                    f"WARNING fresh-session regression {name}: "
+                    f"{fresh_t}s vs banked {prev}s (> 2x) — diff the "
+                    f"plan before trusting this round's number",
+                    file=sys.stderr,
+                )
 
     total = round(sum(timings.values()), 3)
     # Full per-query detail first (humans / our own diffing; ~3.4 KB —
@@ -123,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "fresh_session": fresh,
                 "sf": sf,
             }
         )
@@ -131,9 +158,6 @@ def main() -> None:
     detail = {"total_sec": total, "sf": sf, "queries": timings}
     if fresh:
         detail["fresh_session"] = fresh
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     if not args.only:  # partial runs must not clobber the full record
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
