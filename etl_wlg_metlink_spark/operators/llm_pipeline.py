@@ -1007,28 +1007,51 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF coarse-quantizer sizing: one seed per IVF_SEED_MOD vectors, so
-#: the cell count grows linearly with the corpus while expected cell
-#: size stays ~constant — at 100 TB the per-query probe cost is
-#: nprobe × cell_size regardless of corpus size. Seeds are data rows
-#: picked by a deterministic id rule (vec_id % mod == 0), which both
-#: engines reproduce without any training iteration.
-IVF_SEED_MOD = 50
+#: IVF coarse-quantizer sizing: nlist ≈ √N (seed stride = ⌊√N⌋).
+#: √N is the flat quantizer's optimum — it balances the two costs
+#: that pull in opposite directions: exact cell ASSIGNMENT is
+#: N·nlist and WITHIN-CELL work (SemDeDup pairing, probe scans) is
+#: N·(N/nlist); their sum is minimized at nlist = √N, putting both
+#: at N^1.5 (and matching the FAISS nlist≈√N guideline). The round-6
+#: fixed stride (nlist ∝ N) made assignment N²/50 — measured at 10×
+#: data as a 50× slowdown (SCALE.md sf1 report); √N measures ~30×
+#: (10^1.5). Pushing e → 1 needs a log-depth hierarchical quantizer
+#: (assignment via approximate search over centroids) — noted in
+#: SCALE.md as the next step, not expressible as one Catalyst plan.
+#: Seeds are data rows picked by a deterministic id rule
+#: (vec_id % ⌊√N⌋ == 0), which both engines reproduce without any
+#: training iteration; ⌊√·⌋ is exact in IEEE doubles for every
+#: integer < 2^52, so Python isqrt and SQL floor(sqrt()) agree.
 IVF_NPROBE = 3
+
+def _ivf_mod(emb: DataFrame) -> int:
+    """⌊√N⌋ seed stride. The corpus row count is a metadata-cheap
+    O(1)-result action (parquet row-group stats; like l16's k×64
+    driver reduce — sanctioned bounded driver work)."""
+    import math
+
+    return max(1, math.isqrt(emb.count()))
+
+
+#: SQL twin of _ivf_mod — the same ⌊√N⌋ stride, computed by DuckDB
+_DUCK_IVF_MOD = (
+    "(SELECT greatest(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
 
 
 def _ivf_corpus_seeds(emb: DataFrame):
     """(corpus, seeds) for the IVF coarse quantizer: corpus rows carry
-    their norm; seeds are every IVF_SEED_MOD-th vector (deterministic
-    — a trained quantizer would slot in via l16's k-means). Seed count
-    grows ∝ corpus size, so per-cell occupancy stays ~IVF_SEED_MOD and
-    anything quadratic-within-cell stays linear overall."""
+    their norm; seeds are every ⌊√N⌋-th vector (deterministic — a
+    trained quantizer would slot in via l16's k-means), giving
+    nlist ≈ √N cells of ≈ √N vectors each; see the sizing note on
+    _ivf_mod for why √N is the flat-quantizer optimum."""
     corpus = emb.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    seeds = corpus.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+    seeds = corpus.where(F.col("vec_id") % _ivf_mod(emb) == 0).select(
         F.col("vec_id").alias("seed_id"),
         F.col("embedding").alias("s_emb"),
         F.col("norm").alias("s_norm"),
@@ -1069,7 +1092,7 @@ def l17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path next to l12's LSH (the brief asks for "IVF or LSH"; the
     engine ships both). Inverted-file structure:
 
-      1. coarse cells: every IVF_SEED_MOD-th vector is a seed
+      1. coarse cells: every ⌊√N⌋-th vector is a seed (nlist ≈ √N)
          centroid (deterministic, no Lloyd iterations — a trained
          quantizer would slot in via l16's k-means);
       2. assignment: each corpus vector joins the broadcast seed set
@@ -2160,8 +2183,9 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-the-representative rule).
 
     Scale shape: never all-pairs — the seed rule keeps per-cell
-    occupancy at ~IVF_SEED_MOD regardless of corpus size (seeds grow
-    ∝ N), so within-cell pairing is O(N · IVF_SEED_MOD), one
+    occupancy at ≈ √N (nlist ≈ √N — see _ivf_mod), so within-cell
+    pairing is O(N · √N) = N^1.5, matched by the N·√N assignment
+    cost — the flat-quantizer balance point; one
     cell-keyed self-join shuffle. Exact cosine on candidates only,
     same sequential-fold double math as l9/l17 → full DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
@@ -4139,7 +4163,7 @@ ORACLE = {
         WITH c AS ({_DUCK_COSINE_CORPUS}),
         seeds AS (
           SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
         ),
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
@@ -4613,7 +4637,7 @@ ORACLE = {
         WITH c AS ({_DUCK_COSINE_CORPUS}),
         seeds AS (
           SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
         ),
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
@@ -4748,7 +4772,7 @@ ORACLE = {
         WITH c AS ({_DUCK_COSINE_CORPUS}),
         seeds AS (
           SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
         ),
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
@@ -6837,11 +6861,19 @@ _L72_CTE_PREFIX = _DUCK_L6_CTES.rsplit("        v AS (", 1)[0]
 
 #: per-permutation ARGMIN shingle-hash exprs, generated from the same
 #: UH_PARAMS the Spark probe uses — [1] on the bijection-filtered list
-#: is the unique original hash whose permuted value is the minimum
+#: is the unique original hash whose permuted value is the minimum.
+#: The minima are hoisted into their own projection (hm CTE) so the
+#: filter lambda references a plain column — inlining list_min into
+#: the lambda would re-scan the list per element (O(n²) per doc),
+#: the same HOF-CSE trap the Spark side pre-projects around.
+_L72_MINIMA = ", ".join(
+    f"list_min(list_transform(hset, x -> (x * {a} + {b}) % {MERSENNE_P}))"
+    f" AS pm{s}"
+    for s, (a, b) in enumerate(UH_PARAMS)
+)
 _L72_ARGMINS = ", ".join(
-    f"list_filter(hset, x -> (x * {a} + {b}) % {MERSENNE_P} = "
-    f"list_min(list_transform(hset, x -> (x * {a} + {b}) % {MERSENNE_P})))[1]"
-    for a, b in UH_PARAMS
+    f"list_filter(hset, x -> (x * {a} + {b}) % {MERSENNE_P} = pm{s})[1]"
+    for s, (a, b) in enumerate(UH_PARAMS)
 )
 
 ORACLE["l72_containment_dedup"] = f"""
@@ -6849,10 +6881,13 @@ ORACLE["l72_containment_dedup"] = f"""
     hn AS (
       SELECT doc_id, hset, len(hset) AS n FROM hsets WHERE len(hset) > 0
     ),
+    hm AS (
+      SELECT doc_id, hset, n, {_L72_MINIMA} FROM hn
+    ),
     probe AS (
       SELECT doc_id AS p_doc, n AS p_n,
              unnest(list_distinct([{_L72_ARGMINS}])) AS h
-      FROM hn
+      FROM hm
     ),
     post AS (
       SELECT doc_id AS c_doc, n AS c_n, unnest(hset) AS h FROM hn

@@ -570,14 +570,14 @@ QUERIES["s13_streaming_ann_ingest"] = s13_streaming_ann_ingest
 
 from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
     _DUCK_COSINE_CORPUS,
-    IVF_SEED_MOD,
+    _DUCK_IVF_MOD,
 )
 
 ORACLE["s13_streaming_ann_ingest"] = f"""
     WITH c AS ({_DUCK_COSINE_CORPUS}),
     seeds AS (
       SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-      FROM c WHERE vec_id % {IVF_SEED_MOD} = 0
+      FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
     )
     SELECT vec_id, cell FROM (
       SELECT c.vec_id, seed_id AS cell,

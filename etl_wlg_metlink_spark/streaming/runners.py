@@ -888,7 +888,7 @@ def ivf_ingest_run(
     s12.
 
     Scale shape: per batch, ONE broadcast join (batch × seed set, seed
-    count ∝ corpus/IVF_SEED_MOD but bounded per deployment epoch) +
+    count ≈ √corpus — the flat-quantizer optimum, see _ivf_mod) +
     one partial-agg argmax shuffle on vec_id — the batch never joins
     the already-ingested corpus; ledger growth is ingested-vectors,
     and compaction is one keyed window over it. The final serving
