@@ -103,6 +103,12 @@ def main() -> None:
     )
     fresh: dict[str, float] = {}
     if args.only:
+        if args.fresh_session:
+            print(
+                "note: --only disables --fresh-session (partial runs "
+                "don't bank, so there's no record to regression-gate)",
+                file=sys.stderr,
+            )
         args.fresh_session = 0  # partial runs: no fresh pass, no banking
     if args.fresh_session:
         worst = sorted(timings, key=lambda n: -timings[n])[: args.fresh_session]

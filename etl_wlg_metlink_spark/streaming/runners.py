@@ -887,9 +887,10 @@ def ivf_ingest_run(
     read — a re-ingested vector upserts its cell, same ledger shape as
     s12.
 
-    Scale shape: per batch, ONE broadcast join (batch × seed set, seed
-    count ≈ √corpus — the flat-quantizer optimum, see _ivf_mod) +
-    one partial-agg argmax shuffle on vec_id — the batch never joins
+    Scale shape: per batch, ONE vectorized map-only Arrow pass scores
+    the batch against the driver-collected seed matrix (seed count ≈
+    √corpus — the flat-quantizer optimum, see _ivf_mod / _ivf_assign;
+    no join, no shuffle) — the batch never joins
     the already-ingested corpus; ledger growth is ingested-vectors,
     and compaction is one keyed window over it. The final serving
     table EQUALS l17's batch assignment on the same data (the oracle),

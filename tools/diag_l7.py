@@ -24,6 +24,8 @@ from pyspark.storagelevel import StorageLevel  # noqa: E402
 from etl_wlg_metlink_spark.session import build_session  # noqa: E402
 from etl_wlg_metlink_spark.tables import load  # noqa: E402
 from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
+    L7_BUCKET_CAP_FRAC,
+    L7_BUCKET_CAP_MIN,
     MERSENNE_P,
     N_BANDS_L7,
     UH_PARAMS_L7,
@@ -54,7 +56,14 @@ def diag(spark, sf_dir: str) -> None:
     t_hash = time.time() - t0
     print(f"docs={n_docs}  gram-hash stage {t_hash:.1f}s")
 
-    cand = _banded_candidates(hashed, UH_PARAMS_L7, N_BANDS_L7).persist(
+    # the SAME corpus-relative sub-block cap l7 itself applies
+    import math as _math
+
+    cap = max(L7_BUCKET_CAP_MIN, _math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
+    print(f"bucket cap = {cap} (sub-block)")
+    cand = _banded_candidates(
+        hashed, UH_PARAMS_L7, N_BANDS_L7, max_bucket=cap
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     t0 = time.time()
