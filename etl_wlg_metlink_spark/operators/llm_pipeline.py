@@ -305,20 +305,22 @@ def _banded_candidates(
     """Candidate-pair half of the banded pipeline (split out so l72's
     containment verify can share the exact band construction).
 
-    `max_bucket` (optional) SUB-BLOCKS over-wide band buckets: every
-    bucket is split into ⌈width/max_bucket⌉ blocks of ≤ max_bucket
-    rows by deterministic doc_id order (row_number over the bucket),
-    and candidate pairs form only within a block. A width-w bucket's
-    pair cost drops from w²/2 to ≤ w·max_bucket/2, so total per-band
-    candidates are bounded by N·max_bucket/2 — LINEAR in the corpus
-    regardless of how degenerate the minhash distribution gets
-    (measured at sf1: char-4-gram buckets collapse to ~3,000 wide,
-    116M pair slots, because short same-language docs share the most
-    common grams; see l7's cap note for the recall trade). Narrow
-    buckets (width ≤ max_bucket) get block 0 for every row —
-    byte-identical to the uncapped candidate set. The DuckDB twin
-    applies the same row_number()/cap expression, so both engines see
-    the identical candidate set."""
+    `max_bucket` (optional) DROPS over-wide band buckets: a bucket
+    wider than the cap contributes NO candidate pairs. Rationale: a
+    band key shared by more than max(50, εN) documents is a
+    DEGENERATE signature — it carries ~no similarity information, so
+    its w²/2 pairs are almost pure verify-stage noise (measured at
+    sf1: char-4-gram buckets collapse to ~3,000 wide — 6% of the
+    corpus on one 8-minhash key — 116M pair slots, OOM in the verify
+    join, while contributing ~0 verified pairs; sub-blocking those
+    buckets instead still left cand/doc at 76). Dropping bounds
+    per-band candidates at N·max_bucket/2 — LINEAR in the corpus —
+    and a TRUE near-dup pair is lost only if EVERY band where it
+    collides is over-cap (see l7's cap note: the planted j ≥ 0.9
+    clusters produce ~15-wide distinctive buckets, far under the
+    cap). Narrow buckets are byte-identical to the uncapped set. The
+    DuckDB twin applies the same windowed COUNT(*)/cap filter, so
+    both engines see the identical candidate set."""
     rows = len(uh_params) // n_bands
     sig = hashed.select(
         "doc_id",
@@ -341,21 +343,19 @@ def _banded_candidates(
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
-    join_keys = ["band_id", "band_key"]
     if max_bucket:
-        # one extra sort inside the band-key shuffle partitions (the
-        # window repartitions on the same keys the join needs, so AQE
-        # reuses the exchange); doc_id order makes the block id
-        # deterministic on both engines
-        bw = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-        bands = bands.withColumn(
-            "blk",
-            F.floor((F.row_number().over(bw) - F.lit(1)) / F.lit(max_bucket)),
+        # unordered window count inside the band-key shuffle (the
+        # window partitions on the same keys the join needs, so the
+        # exchange is shared); width > cap ⇒ the whole bucket is out
+        bw = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("bwidth", F.count("*").over(bw))
+            .where(F.col("bwidth") <= max_bucket)
+            .drop("bwidth")
         )
-        join_keys = join_keys + ["blk"]
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), join_keys)
+        .join(bands.alias("b"), ["band_id", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
@@ -450,17 +450,19 @@ UH_PARAMS_L7: tuple[tuple[int, int], ...] = tuple(
 #: common grams, so at sf1 a handful of band buckets collapse to
 #: ~3,000 docs wide (116M candidate-pair slots, verify-join blow-up;
 #: measured by tools/diag_l7.py). Buckets wider than
-#: max(L7_BUCKET_CAP_MIN, ⌈L7_BUCKET_CAP_FRAC·N⌉) are SUB-BLOCKED
-#: into ≤cap-wide blocks by doc_id order (see _banded_candidates), so
-#: per-band candidate cost is ≤ N·cap/2 — linear. Recall trade,
-#: stated exactly: a true pair inside a width-w (> cap) bucket
-#: survives THAT band only if both docs land in the same block
-#: (probability ≈ cap/w under content-independent doc_id order); it
-#: is lost overall only if that happens in EVERY one of its matching
-#: bands — for a pair at jaccard j with k ~ Binomial(8, j⁸) matching
-#: bands, loss requires all k to be over-cap AND split, so the
-#: planted j ≥ 0.9 clusters (≈ 15 docs ≪ cap) keep their ~99%
-#: banded-LSH recall unchanged: their buckets never exceed the cap.
+#: max(L7_BUCKET_CAP_MIN, ⌈L7_BUCKET_CAP_FRAC·N⌉) are DROPPED from
+#: candidate generation (see _banded_candidates — a key that wide is
+#: a degenerate signature whose pairs are ~pure verify noise:
+#: sub-blocking them instead still measured cand/doc 76 at sf1 for
+#: ~0 extra verified pairs), so per-band candidate cost is ≤
+#: N·cap/2 — linear. Recall trade, stated exactly: a true pair is
+#: lost only if EVERY band where it collides has an over-cap bucket;
+#: for a pair at jaccard j the expected matching bands are
+#: Binomial(8, j⁸), and matching bands of genuinely similar docs are
+#: keyed by their DISTINCTIVE shared minhashes — the planted j ≥ 0.9
+#: clusters produce ~15-wide buckets (≪ cap), keeping their ~99%
+#: banded-LSH recall unchanged, while the over-cap keys are the
+#: corpus-common-gram signatures that match unrelated docs.
 L7_BUCKET_CAP_MIN = 50
 L7_BUCKET_CAP_FRAC = 1e-5
 
@@ -476,13 +478,13 @@ def l7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: distinct char-4-grams → one md5 per gram → the shared
     `_banded_lsh_pairs` machinery at 64 permutations × 8 bands of 8,
-    with band buckets wider than max(50, ⌈1e-5·N⌉) sub-blocked to
-    bound the candidate join at N·cap/2 per band (see
-    L7_BUCKET_CAP_MIN for the measured sf1 bucket collapse that
+    with band buckets wider than max(50, ⌈1e-5·N⌉) dropped as
+    degenerate keys, bounding the candidate join at N·cap/2 per band
+    (see L7_BUCKET_CAP_MIN for the measured sf1 bucket collapse that
     motivates the cap and the exact recall statement).
     Banded LSH is probabilistically complete (recall 1-(1-j⁸)⁸ at
     similarity j — ~99% at the corpus's real dup cluster j≥0.9, <1% at
-    its 0.42 baseline; the sub-block cap leaves the planted clusters'
+    its 0.42 baseline; the cap leaves the planted clusters'
     buckets untouched — they are ≪ cap wide); the oracle mirrors the
     banding AND the cap expression so both engines see the identical
     candidate set."""
@@ -4122,18 +4124,19 @@ ORACLE = {
                  CASE b.band_id {_DUCK_BAND_KEY_L7} END AS band_key
           FROM sig, (VALUES {_DUCK_BAND_VALUES_L7}) AS b(band_id)
         ),
-        blocked AS (
-          SELECT doc_id, band_id, band_key,
-                 (row_number() OVER (PARTITION BY band_id, band_key
-                                     ORDER BY doc_id) - 1)
-                   // {_DUCK_L7_CAP} AS blk
-          FROM bands
+        narrow AS (
+          SELECT doc_id, band_id, band_key
+          FROM (SELECT doc_id, band_id, band_key,
+                       COUNT(*) OVER (PARTITION BY band_id, band_key)
+                         AS bwidth
+                FROM bands)
+          WHERE bwidth <= {_DUCK_L7_CAP}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-          FROM blocked a JOIN blocked b
+          FROM narrow a JOIN narrow b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
-               AND a.blk = b.blk AND a.doc_id < b.doc_id
+               AND a.doc_id < b.doc_id
         ),
         hsets AS (
           SELECT doc_id, list_distinct(hs) AS hset FROM hashed

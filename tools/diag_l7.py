@@ -60,7 +60,7 @@ def diag(spark, sf_dir: str) -> None:
     import math as _math
 
     cap = max(L7_BUCKET_CAP_MIN, _math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
-    print(f"bucket cap = {cap} (sub-block)")
+    print(f"bucket cap = {cap} (drop over-cap buckets)")
     cand = _banded_candidates(
         hashed, UH_PARAMS_L7, N_BANDS_L7, max_bucket=cap
     ).persist(
