@@ -6750,16 +6750,15 @@ def l71_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def frame_energy(batches):
         import math as _math
-        from decimal import ROUND_HALF_UP, Decimal
 
         def _r6(x: float) -> float:
-            # half-up on the shortest decimal repr — matches DuckDB's
-            # ROUND(…, 6) everywhere a boundary value can occur here
-            return float(
-                Decimal(repr(x)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
-                )
-            )
+            # floor(x·10⁶ + 0.5)/10⁶ — the same IEEE double ops the
+            # oracle's SQL computes, so the per-frame RMS is
+            # bit-identical by construction at any SF (the earlier
+            # Decimal-repr HALF_UP only matched DuckDB away from
+            # decimal-half boundaries; sf1 hit them — see the output
+            # rounding note below)
+            return _math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
         for pdf in batches:
             out = {
@@ -6779,12 +6778,14 @@ def l71_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["n_frames"].append(len(rms))
                 # aggregates leave the worker UNROUNDED — Python's
-                # round() is banker's (half-even), DuckDB's is half
-                # away from zero; a peak landing on a .00005 boundary
-                # diverged (observed 99.8363 vs 99.8364). Final
-                # rounding happens JVM-side (F.round = HALF_UP,
-                # matching DuckDB), the s10 lesson applied to a batch
-                # lane.
+                # round() is banker's (half-even) and diverged on a
+                # .00005 boundary (observed 99.8363 vs 99.8364); the
+                # final rounding happens JVM-side with the explicit
+                # floor(x·10⁴+0.5)/10⁴ formula mirrored in the oracle
+                # (sf1 disproved the earlier "F.round HALF_UP matches
+                # DuckDB ROUND" assumption: DuckDB rounds the BINARY
+                # double, Spark the shortest decimal repr — 99.44245's
+                # double sits below the half, so the engines split).
                 out["mean_rms"].append(sum(rms) / len(rms))
                 out["peak_rms"].append(max(rms))
                 out["silence_ratio"].append(
@@ -6793,12 +6794,18 @@ def l71_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     mapped = payloads.mapInPandas(frame_energy, schema=out_schema)
+
+    def _r4(c):
+        return F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)) / F.lit(
+            10000.0
+        )
+
     return mapped.select(
         "doc_id",
         "n_frames",
-        F.round("mean_rms", 4).alias("mean_rms"),
-        F.round("peak_rms", 4).alias("peak_rms"),
-        F.round("silence_ratio", 4).alias("silence_ratio"),
+        _r4("mean_rms").alias("mean_rms"),
+        _r4("peak_rms").alias("peak_rms"),
+        _r4("silence_ratio").alias("silence_ratio"),
     )
 
 
@@ -6817,17 +6824,17 @@ ORACLE["l71_audio_energy"] = f"""
     ),
     rms AS (
       SELECT doc_id,
-             ROUND(sqrt(list_avg(list_transform(
+             floor(sqrt(list_avg(list_transform(
                xs[k * {L71_HOP} + 1 : k * {L71_HOP} + {L71_WIN}],
-               x -> x * x))), 6) AS r
+               x -> x * x))) * 1000000.0 + 0.5) / 1000000.0 AS r
       FROM frames
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_frames,
-           ROUND(AVG(r), 4) AS mean_rms,
-           ROUND(MAX(r), 4) AS peak_rms,
-           ROUND(SUM(CASE WHEN r < {L71_SILENCE} THEN 1 ELSE 0 END)
-                 / COUNT(*), 4) AS silence_ratio
+           floor(AVG(r) * 10000.0 + 0.5) / 10000.0 AS mean_rms,
+           floor(MAX(r) * 10000.0 + 0.5) / 10000.0 AS peak_rms,
+           floor(SUM(CASE WHEN r < {L71_SILENCE} THEN 1 ELSE 0 END)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS silence_ratio
     FROM rms GROUP BY doc_id
 """
 

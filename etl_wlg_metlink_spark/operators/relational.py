@@ -544,12 +544,23 @@ def r23_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every partitioned window lane; no global ordering anywhere."""
     cust = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # floor(x·10⁶ + 0.5)/10⁶ instead of round(x, 6): percent_rank is a
+    # rational k/(n-1), and at sf1 some land EXACTLY on a half at the
+    # 6th decimal (e.g. 0.0628125) — Spark's round is HALF_UP on the
+    # shortest decimal repr while DuckDB rounds the binary double
+    # (0.0628125d < the true half → down), so the two engines split
+    # on every such row. The explicit floor formula is the same IEEE
+    # double ops on both sides → bit-identical at any SF (both ∈
+    # [0,1], so the negative-half caveat of floor-rounding is moot).
+    def _r6(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return cust.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
@@ -1334,8 +1345,10 @@ ORACLE = {
     "r23_rank_distribution": """
         SELECT c_custkey, c_nationkey,
                ntile(4) OVER w AS quartile,
-               ROUND(percent_rank() OVER w, 6) AS pct_rank,
-               ROUND(cume_dist() OVER w, 6) AS cume
+               floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+                 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+                 AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal, c_custkey)
