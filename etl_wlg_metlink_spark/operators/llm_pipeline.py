@@ -1081,22 +1081,49 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: assignment runs as ONE vectorized numpy pass over the broadcast
 #: seed matrix (see _ivf_assign) — the N·√N flops remain but at
 #: memory-bandwidth throughput the measured lane cost is scan-
-#: dominated (e ≈ 1 at sf1). A log-depth hierarchical quantizer
-#: would cut the flops too; at these constants it is no longer the
-#: bottleneck.
-#: Seeds are data rows picked by a deterministic id rule
-#: (vec_id % ⌊√N⌋ == 0), which both engines reproduce without any
-#: training iteration; ⌊√·⌋ is exact in IEEE doubles for every
-#: integer < 2^52, so Python isqrt and SQL floor(sqrt()) agree.
+#: dominated (e ≈ 1 at sf1).
+#: Since r11 the quantizer is TRAINED (FAISS-style): the √N seed grid
+#: (vec_id % ⌊√N⌋ == 0 — deterministic, both engines reproduce it;
+#: ⌊√·⌋ is exact in IEEE doubles for every integer < 2^52, so Python
+#: isqrt and SQL floor(sqrt()) agree) is only the Lloyd INIT, and
+#: IVF_TRAIN_ITERS k-means refinement passes (l16's fused
+#: assign+partial-sum machinery) move the centroids to cell means,
+#: which evens out cell occupancy — the worst-case within-cell pair
+#: census that made l35 drift super-linear shrinks with the max cell.
 IVF_NPROBE = 3
 
-def _ivf_mod(emb: DataFrame) -> int:
-    """⌊√N⌋ seed stride. The corpus row count is a metadata-cheap
-    O(1)-result action (parquet row-group stats; like l16's k×64
-    driver reduce — sanctioned bounded driver work)."""
-    import math
+#: Lloyd refinement passes for the trained coarse quantizer. Two is
+#: the FAISS-default ballpark for coarse quantizers (train is cheap
+#: relative to assignment); each extra iteration is one more corpus
+#: pass AND one more unrolled CTE block in every IVF oracle, so the
+#: constant is deliberately small.
+IVF_TRAIN_ITERS = 2
 
-    return max(1, math.isqrt(emb.count()))
+#: Fixed-point scale for the centroid-mean update. Cross-engine
+#: bit-exactness of a TRAINED quantizer hinges on the centroid update
+#: being order-independent: a float64 mean depends on summation order
+#: (Spark partial aggregation vs DuckDB's scan order), so instead each
+#: element is quantized to an int64 — floor(x·2^20 + 0.5), exact in
+#: IEEE (x is f32-origin: x·2^20 is an exponent shift, the +0.5 sum
+#: needs < 53 mantissa bits) — summed exactly (int sums commute), and
+#: the mean is CAST(isum AS DOUBLE) / (count · 2^20) with the same two
+#: IEEE ops on both engines. ~6 decimal digits of centroid precision,
+#: which only perturbs WHICH mean the centroid is — the quantizer
+#: stays a valid coarse index and both engines hold the SAME one.
+IVF_FP_SCALE = 1 << 20
+
+#: Seed-axis chunk for the vectorized argmax (ADVICE r10): the naive
+#: nb×nlist f64 score matrix is ~8 GB/batch at nlist = √N = 10^5
+#: (N = 10^10) with 10k-row Arrow batches; chunking the seed axis caps
+#: scratch at nb×1024×8 B ≈ 84 MB regardless of nlist (cap
+#: spark.sql.execution.arrow.maxRecordsPerBatch to shrink nb too).
+IVF_SEED_CHUNK = 1024
+
+def _ivf_mod(n: int) -> int:
+    """⌊√N⌋ seed stride from the corpus row count (a metadata-cheap
+    O(1)-result action — parquet row-group stats; like l16's k×64
+    driver reduce, sanctioned bounded driver work)."""
+    return max(1, math.isqrt(n))
 
 
 #: SQL twin of _ivf_mod — the same ⌊√N⌋ stride, computed by DuckDB
@@ -1106,58 +1133,187 @@ _DUCK_IVF_MOD = (
 )
 
 
-def _ivf_corpus_seeds(emb: DataFrame):
-    """(corpus, seeds) for the IVF coarse quantizer: corpus rows carry
-    their norm; seeds are every ⌊√N⌋-th vector (deterministic — a
-    trained quantizer would slot in via l16's k-means), giving
-    nlist ≈ √N cells of ≈ √N vectors each; see the sizing note on
-    _ivf_mod for why √N is the flat-quantizer optimum."""
-    corpus = emb.select(
+def _ivf_corpus(emb: DataFrame) -> DataFrame:
+    """Corpus projection for the IVF lanes: each vector with its norm
+    (same sequential-fold double math as l9, so every downstream sim
+    is IEEE-identical to the SQL oracle)."""
+    return emb.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    seeds = corpus.where(F.col("vec_id") % _ivf_mod(emb) == 0).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("s_emb"),
-        F.col("norm").alias("s_norm"),
+
+
+def _argmax_cells(q, norm, cent, cnorm):
+    """Vectorized max-cosine centroid index per row of `q`, chunked
+    over the seed axis so scratch stays O(nb × IVF_SEED_CHUNK)
+    regardless of nlist (see the IVF_SEED_CHUNK note). Semantics are
+    EXACTLY np.argmax over the full nb×nlist sim matrix: sims are the
+    ascending-dimension sequential fold of f64 products (`_dot`'s
+    order) divided by norm·cnorm; the running update takes a later
+    chunk only on a STRICT improvement under NaN-greatest ordering,
+    so the FIRST maximum wins (= the oracle's ORDER BY sim DESC,
+    seed_id with centroids sorted by seed_id) and a NaN sim (zero
+    norm) beats every number, first NaN taken — matching Spark/DuckDB
+    NaN-greatest tie rules."""
+    nb, n_dim = q.shape
+    best = np.full(nb, -np.inf, dtype=np.float64)
+    besti = np.zeros(nb, dtype=np.int64)
+    for lo in range(0, cent.shape[0], IVF_SEED_CHUNK):
+        s = cent[lo : lo + IVF_SEED_CHUNK]
+        acc = np.zeros((nb, s.shape[0]), dtype=np.float64)
+        for d in range(n_dim):  # ascending dims = _dot's fold order
+            acc += q[:, d, None] * s[None, :, d]
+        sim = acc / (norm[:, None] * cnorm[None, lo : lo + IVF_SEED_CHUNK])
+        li = np.argmax(sim, axis=1)  # first max; NaN is greatest
+        lv = sim[np.arange(nb), li]
+        upd = (np.isnan(lv) & ~np.isnan(best)) | (lv > best)
+        best = np.where(upd, lv, best)
+        besti = np.where(upd, lo + li, besti)
+    return besti
+
+
+#: Trained-index cache: (realpath, N) → (sid, cent, cnorm). The IVF
+#: lanes share ONE index lineage (l17 search, l35 dedup blocking, l38
+#: recall sweep, s13 streaming ingest); training is a bounded action
+#: (FAISS-style: train once, serve many), so within a process the
+#: first lane pays the IVF_TRAIN_ITERS corpus passes and the rest
+#: reuse the k×64 centroid matrix. Deterministic, so a cache hit is
+#: byte-identical to retraining.
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index(emb: DataFrame, cache_key: str | None = None):
+    """Train the coarse quantizer (VERDICT r10 item 1 — the promised
+    trained IVF): Lloyd k-means over the corpus, initialized from the
+    deterministic √N seed grid, refined for IVF_TRAIN_ITERS passes
+    with l16's fused pattern — per pass ONE mapInArrow job that
+    assigns every vector to its max-cosine centroid AND emits
+    per-partition PARTIAL per-cell sums, reduced driver-side (the
+    map-side combine of MLlib's treeAggregate; driver traffic is
+    tasks×nlist rows of 64 ints, the centroid matrix itself is
+    √N×64 ≈ 51 MB even at N = 10^10).
+
+    Cross-engine bit-exactness (the DuckDB oracle unrolls the same
+    iterations as CTEs): partial sums are FIXED-POINT int64 —
+    floor(x·2^20 + 0.5), exact IEEE on both engines (see
+    IVF_FP_SCALE) — so the per-cell sum is order-independent and the
+    mean CAST(isum AS DOUBLE)/(count·2^20) is bit-identical however
+    Spark partitions the corpus. Cells left empty by a pass are
+    dropped (FAISS drops/reassigns empty cells); surviving cells keep
+    their original seed vec_id as a stable label. Returns
+    (sid, cent, cnorm): labels, f64 centroid matrix, and sequential-
+    fold norms. NOTE: training is an ACTION at plan-construction time
+    (an index build, like FAISS train() before add()); the returned
+    arrays make every downstream assignment plan lazy and are cached
+    per (path, N) — in particular the streaming ingest trains ONCE
+    outside foreachBatch instead of re-scanning seeds per micro-batch
+    (ADVICE r10)."""
+    n = emb.count()
+    key = (cache_key, n) if cache_key is not None else None
+    if key is not None and key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+    corpus = _ivf_corpus(emb)
+    mod = _ivf_mod(n)
+    rows = (
+        corpus.where(F.col("vec_id") % mod == 0).orderBy("vec_id").collect()
     )
-    return corpus, seeds
-
-
-def _ivf_assign(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
-    """Cell assignment, vectorized (VERDICT r09 item 5): each corpus
-    vector keeps its max-cosine seed cell. The old plan exploded the
-    N×K scoring pairs JVM-side (broadcast NLJ + partial-agg shuffle
-    back to one row per vector — measured e≈1.16 at sf1); this one
-    collects the BOUNDED seed set driver-side (√N rows × 64 floats —
-    ~50 MB even at N = 10^10) and runs ONE map-only Arrow pass with
-    numpy doing K dot products per vector per batch. No join, no
-    shuffle, no per-row Python — the N·√N flops remain (flat-
-    quantizer assignment is N·nlist by definition) but at numpy
-    throughput they are scan-dominated through sf1 and beyond.
-
-    Bit-exactness contract with the DuckDB oracle (and the old plan):
-    the dot is accumulated dimension-by-dimension in ascending order,
-    each float32 element cast to float64 before multiplying — the
-    SAME sequential fold as `_dot` — and sim = dot/(norm·s_norm) with
-    the same operation order, so every sim is IEEE-identical on both
-    engines. argmax tie-breaks: seeds are sorted by seed_id ascending
-    and np.argmax takes the FIRST maximum — "smaller seed wins",
-    matching the oracle's max(struct(sim, -seed_id)); NaN sims (zero
-    norms) are greatest-and-first-taken in numpy argmax, matching
-    Spark/DuckDB NaN-greatest ordering. Shared by l17 (ANN search),
-    l35 (semantic dedup blocking) and l38 (recall sweep) so all three
-    stay on one index lineage."""
-    seed_rows = seeds.orderBy("seed_id").collect()
     sid = np.fromiter(
-        (r["seed_id"] for r in seed_rows), dtype=np.int64, count=len(seed_rows)
+        (r["vec_id"] for r in rows), dtype=np.int64, count=len(rows)
     )
-    s64 = np.array([r["s_emb"] for r in seed_rows], dtype=np.float64)
-    sn = np.fromiter(
-        (r["s_norm"] for r in seed_rows), dtype=np.float64, count=len(seed_rows)
+    cent = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cnorm = np.fromiter(
+        (r["norm"] for r in rows), dtype=np.float64, count=len(rows)
     )
-    n_dim = s64.shape[1] if seed_rows else 0
+    for _ in range(IVF_TRAIN_ITERS):
+        if not len(sid):
+            break
+        c_cent, c_norm = cent, cnorm  # bind for the closure
+        nlist, n_dim = c_cent.shape
+
+        def partials(batches):
+            import pyarrow as pa
+
+            isum = np.zeros((nlist, n_dim), dtype=np.int64)
+            cnt = np.zeros(nlist, dtype=np.int64)
+            for batch in batches:
+                nb = batch.num_rows
+                if nb == 0:
+                    continue
+                q = np.asarray(
+                    batch.column("embedding").flatten(), dtype=np.float64
+                ).reshape(nb, n_dim)
+                nrm = np.asarray(batch.column("norm"), dtype=np.float64)
+                a = _argmax_cells(q, nrm, c_cent, c_norm)
+                xq = np.floor(q * float(IVF_FP_SCALE) + 0.5).astype(np.int64)
+                cnt += np.bincount(a, minlength=nlist)
+                np.add.at(isum, a, xq)
+            hit = np.flatnonzero(cnt)
+            if len(hit):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(hit),
+                        pa.array(cnt[hit]),
+                        pa.array(
+                            [isum[j].tolist() for j in hit],
+                            type=pa.list_(pa.int64()),
+                        ),
+                    ],
+                    names=["cidx", "n", "s"],
+                )
+
+        agg_n = np.zeros(nlist, dtype=np.int64)
+        agg_s = np.zeros((nlist, n_dim), dtype=np.int64)
+        for r in corpus.mapInArrow(
+            partials, "cidx long, n long, s array<long>"
+        ).collect():
+            agg_n[r["cidx"]] += r["n"]
+            agg_s[r["cidx"]] += np.array(r["s"], dtype=np.int64)
+        keep = np.flatnonzero(agg_n)
+        sid = sid[keep]
+        cent = agg_s[keep].astype(np.float64) / (
+            agg_n[keep].astype(np.float64)[:, None] * float(IVF_FP_SCALE)
+        )
+        cnorm = np.zeros(len(keep), dtype=np.float64)
+        for d in range(n_dim):  # sequential fold, same as the oracle's
+            cnorm += cent[:, d] * cent[:, d]  # list_sum over x*x
+        cnorm = np.sqrt(cnorm)
+    out = (sid, cent, cnorm)
+    if key is not None:
+        _IVF_INDEX_CACHE[key] = out
+    return out
+
+
+def _ivf_seeds_df(spark: SparkSession, sid, cent, cnorm) -> DataFrame:
+    """The trained centroids as a bounded DataFrame (nlist rows) for
+    JVM-side probe ranking (qprobe broadcast joins in l17/l38).
+    Python floats ARE IEEE doubles, so the round-trip is exact and
+    `_dot(q_emb, s_emb)` reproduces the oracle's qe[i]·se[i] fold."""
+    rows = [
+        (int(s), [float(v) for v in c], float(n))
+        for s, c, n in zip(sid, cent, cnorm)
+    ]
+    return spark.createDataFrame(
+        rows, "seed_id long, s_emb array<double>, s_norm double"
+    )
+
+
+def _ivf_assign(corpus: DataFrame, sid, cent, cnorm) -> DataFrame:
+    """Cell assignment, vectorized (VERDICT r09 item 5): each corpus
+    vector keeps its max-cosine centroid cell in ONE map-only Arrow
+    pass — no join, no shuffle, no per-row Python; the N·nlist flops
+    are intrinsic to a flat quantizer (FAISS IVF-flat) and run at
+    numpy throughput, chunked over the seed axis (_argmax_cells) so
+    per-batch scratch is bounded at any nlist. Takes the trained
+    driver-side arrays from _ivf_index, so building this plan is LAZY
+    (no Spark job) and a streaming caller assigns every micro-batch
+    against the same in-memory matrix (ADVICE r10). An empty centroid
+    set yields NO rows — mirroring the oracle's empty seed join
+    (ADVICE r10; unreachable for a nonempty corpus since the seed
+    grid keeps ≥1 cell). Tie/NaN semantics: see _argmax_cells.
+    Shared by l17 (ANN search), l35 (semantic dedup blocking), l38
+    (recall sweep) and s13 (streaming ingest) — one index lineage."""
+    sid_, c_, n_ = sid, cent, cnorm
 
     def assign(batches):
         import pyarrow as pa
@@ -1167,21 +1323,15 @@ def _ivf_assign(corpus: DataFrame, seeds: DataFrame) -> DataFrame:
             emb = batch.column("embedding")
             norm = batch.column("norm")
             nb = len(ids)
-            if nb == 0 or not len(sid):
-                yield pa.RecordBatch.from_arrays(
-                    [ids, emb, norm, pa.array([0] * nb, type=pa.int64())],
-                    names=["vec_id", "embedding", "norm", "cell"],
-                )
+            if nb == 0 or not len(sid_):
                 continue
             # flatten() honors list offsets; exact f32→f64 widening
-            q = np.asarray(emb.flatten(), dtype=np.float64).reshape(nb, n_dim)
-            acc = np.zeros((nb, len(sid)), dtype=np.float64)
-            for d in range(n_dim):  # ascending dims = _dot's fold order
-                acc += q[:, d, None] * s64[None, :, d]
-            sim = acc / (
-                np.asarray(norm, dtype=np.float64)[:, None] * sn[None, :]
+            q = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                nb, c_.shape[1]
             )
-            cell = sid[np.argmax(sim, axis=1)]
+            cell = sid_[
+                _argmax_cells(q, np.asarray(norm, dtype=np.float64), c_, n_)
+            ]
             yield pa.RecordBatch.from_arrays(
                 [ids, emb, norm, pa.array(cell)],
                 names=["vec_id", "embedding", "norm", "cell"],
@@ -1197,25 +1347,30 @@ def l17_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path next to l12's LSH (the brief asks for "IVF or LSH"; the
     engine ships both). Inverted-file structure:
 
-      1. coarse cells: every ⌊√N⌋-th vector is a seed (nlist ≈ √N)
-         centroid (deterministic, no Lloyd iterations — a trained
-         quantizer would slot in via l16's k-means);
+      1. coarse cells: a TRAINED quantizer — Lloyd k-means (l16's
+         fused assign+partial-sum machinery) initialized from the
+         deterministic √N seed grid, refined for IVF_TRAIN_ITERS
+         passes with order-independent fixed-point centroid updates
+         so both engines hold bit-identical centroids (_ivf_index);
       2. assignment: one vectorized map-only Arrow pass scores each
-         corpus vector against the driver-collected seed matrix and
-         keeps its max-cosine cell (see _ivf_assign — no join, no
-         shuffle, bit-identical sims to the SQL oracle);
+         corpus vector against the trained centroid matrix and keeps
+         its max-cosine cell (see _ivf_assign — no join, no shuffle,
+         bit-identical sims to the SQL oracle);
       3. search: each query (vec_id < 20, same set as l9) probes its
          IVF_NPROBE nearest cells and ranks candidates from those
          cells only by exact cosine.
 
     Output schema matches l9_cosine_topk exactly, so ANN recall is the
     visible diff between the two result sets. Every float is the same
-    sequential-fold double math as l9, making the whole index
-    SQL-expressible — this ANN path has a full DuckDB oracle rather
-    than a rows-only check."""
+    sequential-fold double math as l9, making the whole index —
+    training iterations included (unrolled CTEs) — SQL-expressible:
+    this ANN path has a full DuckDB oracle rather than a rows-only
+    check."""
     emb = load(spark, sf_dir, "embeddings")
-    corpus, seeds = _ivf_corpus_seeds(emb)
-    assign = _ivf_assign(corpus, seeds)
+    corpus = _ivf_corpus(emb)
+    sid, cent, cnorm = _ivf_index(emb, cache_key=sf_dir)
+    seeds = _ivf_seeds_df(spark, sid, cent, cnorm)
+    assign = _ivf_assign(corpus, sid, cent, cnorm)
     qprobe_w = Window.partitionBy("query_id").orderBy(
         F.col("q_sim").desc(), F.col("seed_id")
     )
@@ -2296,13 +2451,14 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing. Exact cosine on candidates only, same sequential-fold
     double math as l9/l17 → full DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    corpus, seeds = _ivf_corpus_seeds(emb)
+    corpus = _ivf_corpus(emb)
+    sid, cent, cnorm = _ivf_index(emb, cache_key=sf_dir)
     # Eager localCheckpoint: the assignment feeds BOTH sides of the
     # cell self-join AND the membership census — without it the plan
-    # recomputes the broadcast seed-scoring pass once per consumer
-    # (three corpus passes; PLANS.md showed the doubled SMJ lineage).
+    # recomputes the Arrow scoring pass once per consumer (three
+    # corpus passes; PLANS.md showed the doubled SMJ lineage).
     # Checkpointed, the join reads one materialized assignment.
-    assign = _ivf_assign(corpus, seeds).localCheckpoint(eager=True)
+    assign = _ivf_assign(corpus, sid, cent, cnorm).localCheckpoint(eager=True)
     a = assign.select(
         "cell",
         F.col("vec_id").alias("vid_a"),
@@ -2367,8 +2523,10 @@ def l38_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep length. Same sequential-fold double cosine as l9/l17 →
     full DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    corpus, seeds = _ivf_corpus_seeds(emb)
-    assign = _ivf_assign(corpus, seeds).localCheckpoint(eager=True)
+    corpus = _ivf_corpus(emb)
+    sid, cent, cnorm = _ivf_index(emb, cache_key=sf_dir)
+    seeds = _ivf_seeds_df(spark, sid, cent, cnorm)
+    assign = _ivf_assign(corpus, sid, cent, cnorm).localCheckpoint(eager=True)
 
     queries_df = corpus.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
@@ -3744,6 +3902,65 @@ _DUCK_DOT_QC = (
     "list_sum(list_transform(range(1, 65), "
     "i -> qe[i]::DOUBLE * embedding[i]::DOUBLE))"
 )
+
+
+def _duck_ivf_iter(k: int) -> str:
+    """One unrolled Lloyd iteration of the IVF quantizer training as
+    CTEs (SQL twin of one _ivf_index pass): assign every vector to its
+    max-cosine centroid of seeds{k-1} (same sim fold and ORDER BY
+    sim DESC, seed_id tie rule as the Spark argmax), then recompute
+    each surviving cell's centroid as the FIXED-POINT mean —
+    per dimension SUM(CAST(floor(x·2^20 + 0.5) AS BIGINT)), exact and
+    order-independent, divided by count·2^20 with the same IEEE ops as
+    numpy (see IVF_FP_SCALE) — and its sequential-fold norm. Cells no
+    vector chose disappear (dropped, as in _ivf_index)."""
+    fp = f"{IVF_FP_SCALE}.0"
+    return f"""
+        a{k} AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT c.vec_id, c.embedding, seed_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * se[i]))
+                       / (c.norm * sn) DESC,
+                     seed_id) AS ar
+            FROM c, seeds{k - 1}
+          ) WHERE ar = 1
+        ),
+        u{k} AS (
+          SELECT cell, i,
+                 CAST(SUM(CAST(floor(embedding[i]::DOUBLE * {fp} + 0.5)
+                       AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * {fp}) AS cd
+          FROM a{k}, range(1, 65) t(i)
+          GROUP BY cell, i
+        ),
+        seeds{k} AS (
+          SELECT seed_id, se,
+                 sqrt(list_sum(list_transform(se, x -> x * x))) AS sn
+          FROM (SELECT cell AS seed_id, list(cd ORDER BY i) AS se
+                FROM u{k} GROUP BY cell)
+        )"""
+
+
+#: The trained IVF coarse quantizer as a CTE chain (expects `c` =
+#: _DUCK_COSINE_CORPUS in scope): seeds0 is the deterministic √N seed
+#: grid (the Lloyd init), seeds{1..ITERS} the unrolled refinements,
+#: and `seeds(seed_id, se DOUBLE[], sn)` the final trained centroids —
+#: bit-identical to _ivf_index's arrays. Shared by the l17 / l35 /
+#: l38 / s13 oracles so the whole IVF family stays on ONE index
+#: lineage in BOTH engines.
+_DUCK_IVF_TRAIN = (
+    f"""seeds0 AS (
+          SELECT vec_id AS seed_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS se,
+                 norm AS sn
+          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
+        ),"""
+    + ",".join(_duck_ivf_iter(k) for k in range(1, IVF_TRAIN_ITERS + 1))
+    + f""",
+        seeds AS (SELECT seed_id, se, sn FROM seeds{IVF_TRAIN_ITERS})"""
+)
 _LID_SCORE_SQL = ",\n".join(
     f"len(list_filter(ws, w -> w IN ({', '.join(repr(m) for m in ms)}))) AS s_{lg}"
     for lg, ms in LID_MARKERS.items()
@@ -4283,10 +4500,7 @@ ORACLE = {
     """,
     "l17_ivf_ann": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),
-        seeds AS (
-          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
-        ),
+        {_DUCK_IVF_TRAIN},
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
             SELECT c.vec_id, c.embedding, c.norm, seed_id,
@@ -4757,10 +4971,7 @@ ORACLE = {
     """,
     "l35_semantic_dedup": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),
-        seeds AS (
-          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
-        ),
+        {_DUCK_IVF_TRAIN},
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
             SELECT c.vec_id, c.embedding, c.norm, seed_id,
@@ -4892,10 +5103,7 @@ ORACLE = {
     """,
     "l38_ivf_recall_sweep": f"""
         WITH c AS ({_DUCK_COSINE_CORPUS}),
-        seeds AS (
-          SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-          FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
-        ),
+        {_DUCK_IVF_TRAIN},
         assign AS (
           SELECT vec_id, embedding, norm, seed_id AS cell FROM (
             SELECT c.vec_id, c.embedding, c.norm, seed_id,

@@ -570,20 +570,17 @@ QUERIES["s13_streaming_ann_ingest"] = s13_streaming_ann_ingest
 
 from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
     _DUCK_COSINE_CORPUS,
-    _DUCK_IVF_MOD,
+    _DUCK_IVF_TRAIN,
 )
 
 ORACLE["s13_streaming_ann_ingest"] = f"""
     WITH c AS ({_DUCK_COSINE_CORPUS}),
-    seeds AS (
-      SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-      FROM c WHERE vec_id % {_DUCK_IVF_MOD} = 0
-    )
+    {_DUCK_IVF_TRAIN}
     SELECT vec_id, cell FROM (
       SELECT c.vec_id, seed_id AS cell,
              ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
                list_sum(list_transform(range(1, 65),
-                 i -> c.embedding[i]::DOUBLE * se[i]::DOUBLE))
+                 i -> c.embedding[i]::DOUBLE * se[i]))
                  / (c.norm * sn) DESC,
                seed_id) AS ar
       FROM c, seeds

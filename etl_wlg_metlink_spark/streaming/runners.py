@@ -898,7 +898,7 @@ def ivf_ingest_run(
     order and batch splits."""
     from etl_wlg_metlink_spark.operators.llm_pipeline import (
         _ivf_assign,
-        _ivf_corpus_seeds,
+        _ivf_index,
     )
     from etl_wlg_metlink_spark.session import ensure_engine_conf
     from etl_wlg_metlink_spark.tables import load
@@ -911,8 +911,15 @@ def ivf_ingest_run(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    # the fixed coarse quantizer: seeds from the full static table
-    _, seeds = _ivf_corpus_seeds(load(spark, sf_dir, "embeddings"))
+    # the fixed coarse quantizer, TRAINED ONCE ahead of ingest on the
+    # full static table (FAISS-style: train, then serve while adding);
+    # the driver-side centroid arrays live in the foreachBatch closure,
+    # so no micro-batch ever re-scans or re-collects the seed set
+    # (ADVICE r10: the old per-batch seeds.collect() re-executed the
+    # seed scan inside every foreachBatch invocation).
+    sid, cent, cnorm = _ivf_index(
+        load(spark, sf_dir, "embeddings"), cache_key=sf_dir
+    )
     ledger_dir = _tracked_mkdtemp(prefix="ivf_ledger_")
     checkpoint_dir = _tracked_mkdtemp(prefix="ivf_ckpt_")
 
@@ -933,7 +940,7 @@ def ivf_ingest_run(
             ).alias("norm"),
         )
         (
-            _ivf_assign(corpus, seeds)
+            _ivf_assign(corpus, sid, cent, cnorm)
             .select("vec_id", "cell", F.lit(batch_id).alias("batch_id"))
             .write.mode("append")
             .parquet(ledger_dir)

@@ -921,17 +921,21 @@ def test_s13_streaming_ivf_matches_batch_assignment(spark, sf_dir):
     matter), and a 1-batch replay must agree with the 4-batch one."""
     from etl_wlg_metlink_spark.operators.llm_pipeline import (
         _ivf_assign,
-        _ivf_corpus_seeds,
+        _ivf_corpus,
+        _ivf_index,
     )
     from etl_wlg_metlink_spark.tables import load
 
     four = runners.ivf_ingest_run(spark, sf_dir, n_batches=4)
     got4 = {r["vec_id"]: r["cell"] for r in four.collect()}
 
-    corpus, seeds = _ivf_corpus_seeds(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    sid, cent, cnorm = _ivf_index(emb, cache_key=sf_dir)
     batch = {
         r["vec_id"]: r["cell"]
-        for r in _ivf_assign(corpus, seeds).select("vec_id", "cell").collect()
+        for r in _ivf_assign(_ivf_corpus(emb), sid, cent, cnorm)
+        .select("vec_id", "cell")
+        .collect()
     }
     assert got4 == batch
 
