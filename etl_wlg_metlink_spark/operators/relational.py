@@ -258,23 +258,91 @@ def r11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable HyperLogLog geometry (r12): p=12 → m=4096 registers from
+#: the top bits of the 60-bit md5 hash; rho counts leading zeros in
+#: the remaining 48-bit window (+1), so max rho = 49.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+HLL_WBITS = 60 - HLL_P
+#: Fixed-point denominator for the harmonic sum: each register
+#: contributes 2^(40 - rho) as an int64 (terms with rho > 40 truncate
+#: to 0 — statistically negligible and IDENTICAL on both engines), so
+#: the sum is order-independent and exact: max total is
+#: m·2^40 = 2^52 < 2^53, also exact as a double.
+HLL_RHO_CAP = 40
+#: alpha_m · m² · 2^40, computed ONCE in Python IEEE doubles and
+#: embedded as the same literal in the Spark plan and the DuckDB
+#: oracle, so the estimate arithmetic is a single identical division.
+HLL_COEF = (
+    0.7213 / (1.0 + 1.079 / float(HLL_M))
+    * float(HLL_M) * float(HLL_M) * float(1 << HLL_RHO_CAP)
+)
+
+
 def r12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the sketch every 100 TB
-    pipeline uses instead of exact distinct. Sketch estimates are
-    engine-specific, so this is validated as max-relative-error vs the
-    exact count INSIDE the query; the driver checks the boolean."""
+    """Approximate distinct count via a PORTABLE HyperLogLog sketch —
+    the sketch every 100 TB pipeline uses instead of exact distinct,
+    built from engine-agnostic parts (md5-derived 60-bit hash, md5 is
+    the repo-wide portability rule) so the ESTIMATE itself is
+    bit-identical on both engines and gets a full value oracle —
+    unlike approx_count_distinct, whose HLL++ registers are
+    engine-private. The 5%-of-exact accuracy check lives in pytest
+    (tests/test_relational.py), NOT in the benched lane: the exact
+    count_distinct it needs is an expand+shuffle over every row, and
+    carrying it made r12 the slowest sf1 lane (24.2 s, VERDICT r10
+    item 4) while the sketch path below never shuffles more than
+    4096 rows.
+
+    Shape: one narrow map (hash → register id, rho = leading zeros of
+    the 48-bit window via length(bin(w)) — both engines print
+    unpadded binary), ONE 4096-group partial aggregation (map-side
+    combine caps every task's output at m rows), one single-row final
+    agg. Estimate math is order-independent by construction: the
+    harmonic sum is the exact int64 Σ 2^(40-rho) (see HLL_RHO_CAP;
+    empty registers contribute 2^40 each), and the only float ops are
+    HLL_COEF / S and the standard small-range linear-counting branch
+    m·ln(m/V) (taken only when est ≤ 2.5m — sf0.001 territory)."""
     lineitem = load(spark, sf_dir, "lineitem")
-    agg = lineitem.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    pb = (
+        lineitem.select(h.alias("h"))
+        .select(
+            F.shiftright(F.col("h"), HLL_WBITS).alias("bucket"),
+            F.when(w == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mrho"), F.count("*").alias("n"))
     )
-    return agg.select(
-        "exact_orders",
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            / F.col("exact_orders")
-            < 0.05
-        ).alias("approx_within_5pct"),
+    g = pb.agg(
+        F.sum("n").alias("n_rows"),
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("n_empty_buckets"),
+        F.sum(
+            F.when(
+                F.col("mrho") <= HLL_RHO_CAP,
+                F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.col("mrho")).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("s_used"),
+    )
+    s_int = F.col("s_used") + F.col("n_empty_buckets") * F.lit(
+        1 << HLL_RHO_CAP
+    )
+    est_raw = F.lit(HLL_COEF) / s_int
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (F.col("n_empty_buckets") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("n_empty_buckets")),
+    ).otherwise(est_raw)
+    return g.select(
+        "n_rows",
+        "n_empty_buckets",
+        F.floor(est + F.lit(0.5)).cast("long").alias("hll_estimate"),
     )
 
 
@@ -1487,10 +1555,46 @@ ORACLE = {
                COUNT(*) AS n_rows
         FROM orders
     """,
-    "r12_approx_distinct": """
-        SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
-               TRUE AS approx_within_5pct
-        FROM lineitem
+    "r12_approx_distinct": f"""
+        WITH hs AS (
+          SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS h
+          FROM lineitem
+        ),
+        rr AS (
+          SELECT h >> {HLL_WBITS} AS bucket,
+                 CASE WHEN (h & {(1 << HLL_WBITS) - 1}) = 0
+                      THEN {HLL_WBITS + 1}
+                      ELSE {HLL_WBITS + 1}
+                           - length(bin(h & {(1 << HLL_WBITS) - 1}))
+                 END AS rho
+          FROM hs
+        ),
+        pb AS (
+          SELECT bucket, MAX(rho) AS mrho, COUNT(*) AS n
+          FROM rr GROUP BY bucket
+        ),
+        g AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_empty_buckets,
+                 CAST(SUM(CASE WHEN mrho <= {HLL_RHO_CAP}
+                     THEN CAST(pow(2, {HLL_RHO_CAP} - mrho) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS s_used
+          FROM pb
+        ),
+        e AS (
+          SELECT n_rows, n_empty_buckets,
+                 {HLL_COEF!r}
+                   / (s_used + n_empty_buckets * {1 << HLL_RHO_CAP}) AS est_raw
+          FROM g
+        )
+        SELECT n_rows, n_empty_buckets,
+               CAST(floor(CASE WHEN est_raw <= {2.5 * HLL_M!r}
+                                AND n_empty_buckets > 0
+                          THEN {float(HLL_M)!r}
+                               * ln({float(HLL_M)!r} / n_empty_buckets)
+                          ELSE est_raw END + 0.5) AS BIGINT) AS hll_estimate
+        FROM e
     """,
     "r13_window_rank": """
         SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 4) AS c_acctbal,

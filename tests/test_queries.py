@@ -1739,3 +1739,34 @@ def test_r37_only_returned_quarter_revenue(spark, sf_dir):
         .first()["rev"]
     )
     assert abs(float(direct) - float(top["revenue"])) < 1e-6
+
+
+def test_r12_hll_estimate_within_5pct_of_exact(spark):
+    """VERDICT r10 item 4: the exact-count accuracy check lives HERE,
+    not in the benched lane — r12's production path is the portable
+    HLL sketch alone (no expand+shuffle count_distinct). Exercises
+    BOTH estimator branches: sf0.001 (~1.5k distinct < 2.5m, the
+    linear-counting correction) and sf0.01 (~15k distinct, the raw
+    harmonic-mean path)."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.relational import r12_approx_distinct
+    from etl_wlg_metlink_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = r12_approx_distinct(spark, sf).first()
+        exact_row = (
+            load(spark, sf, "lineitem")
+            .agg(
+                F.count_distinct("l_orderkey").alias("exact"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        exact = exact_row["exact"]
+        assert row["n_rows"] == exact_row["n"]
+        assert abs(row["hll_estimate"] - exact) / exact < 0.05, (
+            sf,
+            row["hll_estimate"],
+            exact,
+        )
