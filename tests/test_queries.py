@@ -1770,3 +1770,92 @@ def test_r12_hll_estimate_within_5pct_of_exact(spark):
             row["hll_estimate"],
             exact,
         )
+
+
+def test_l7_planted_cluster_survives_bucket_cap(spark, tmp_path):
+    """VERDICT r10 item 6: pin l7's recall trade. A planted j >= 0.9
+    near-dup cluster must keep ALL its pairs through the band-bucket
+    cap at the sf0.01 AND sf1 cap settings (cap recomputed from the
+    module constants, so a future L7_BUCKET_CAP_MIN/FRAC change flows
+    through and fails here if it starts eating true pairs) — while in
+    the same corpus the cap demonstrably FIRES: 60 byte-identical
+    filler docs form an over-cap degenerate bucket in every band and
+    contribute no pairs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L7_BUCKET_CAP_FRAC,
+        L7_BUCKET_CAP_MIN,
+        MERSENNE_P,
+        N_BANDS_L7,
+        UH_PARAMS_L7,
+        _banded_lsh_pairs,
+        _md5_int60,
+        l7_ngram_jaccard,
+    )
+
+    import hashlib
+
+    base = "".join(
+        chr(97 + b % 26)
+        for blk in range(40)
+        for b in hashlib.md5(f"l7seed{blk}".encode()).digest()
+    )  # 640 deterministic pseudo-random chars -> ~600 distinct 4-grams
+    planted = [(k, base + f" tail{k}xx") for k in range(1, 5)]
+    filler_text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG " * 3
+    rows = [(d, t, "en", "web", len(t)) for d, t in planted] + [
+        (100 + j, filler_text, "en", "web", len(filler_text))
+        for j in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    planted_pairs = {
+        (i, j) for i in range(1, 5) for j in range(i + 1, 5)
+    }
+
+    # the real lane (N=64 docs -> cap = max(50, ceil(64e-5)) = 50,
+    # which IS the sf0.01 and sf1 cap value)
+    got = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in l7_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    for p in planted_pairs:
+        assert p in got, f"cap dropped planted true pair {p}"
+        assert got[p] >= 0.9
+    assert not any(k[0] >= 100 or k[1] >= 100 for k in got), (
+        "over-cap degenerate bucket leaked pairs — the cap did not fire"
+    )
+
+    # cap values as the formula yields them at sf0.01 (N=500), sf1
+    # (N=50k) and a 10^7-doc corpus — parameterized survival
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    cg = F.array_distinct(
+        F.expr(r"regexp_extract_all(text, '(?s)(?=(.{4}))', 1)")
+    )
+    hashed = (
+        docs.select("doc_id", cg.alias("cg"))
+        .where(F.size("cg") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("cg"), lambda x: _md5_int60(x) % MERSENNE_P
+            ).alias("hs"),
+        )
+    )
+    caps = sorted(
+        {
+            max(L7_BUCKET_CAP_MIN, math.ceil(L7_BUCKET_CAP_FRAC * n))
+            for n in (500, 50_000, 10**7)
+        }
+    )
+    for cap in caps:
+        pairs = {
+            (r["doc_i"], r["doc_j"])
+            for r in _banded_lsh_pairs(
+                hashed, UH_PARAMS_L7, N_BANDS_L7, 0.5, max_bucket=cap
+            ).collect()
+        }
+        assert planted_pairs <= pairs, (cap, planted_pairs - pairs)
