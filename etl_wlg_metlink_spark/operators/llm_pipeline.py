@@ -7331,8 +7331,7 @@ ORACLE["l72_containment_dedup"] = f"""
 #: docs; beyond that the l7-style sub-block cap is the lever (the
 #: machinery exists in _banded_candidates), not a larger claim here.
 L73_PIXELS = 64
-L73_BANDS = 8        # byte geometry for the Hamming verify
-L73_KEY_BANDS = 4    # 16-bit candidate-key bands (2 bytes each)
+L73_BANDS = 8        # byte geometry: 8 bands of 8 bits, keys AND verify
 L73_HAMMING_MAX = 14
 
 
@@ -7351,30 +7350,43 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify.
 
     aHash: bit_i = (64·pixel_i ≥ Σpixels) — integer-exact in both
-    engines (no float average). Candidates: any shared 16-bit
-    (band, two-byte key) — 4 bands × 65,536 buckets (see L73_PIXELS
-    comment for why 16-bit keys replaced the 256-bucket byte keys);
-    verify: Σ popcount(byte_a XOR byte_b) ≤ 14 over the 8 bytes
-    (≤ 3 pigeonhole-guaranteed, 4–14 best-effort). Corpus note,
-    stated honestly: the synthetic corpus's
-    near-dup texts are bag-of-words shuffles over a shared vocabulary
-    — DIFFERENT images under any translation-sensitive perceptual
-    hash — so natural pairs here sit at Hamming ≥ 9; byte-identical
-    payloads (Hamming 0) and single-edit payloads (Hamming ≤ 2) are
-    pinned by the planted-fixture test instead.
+    engines (no float average). Candidates: any shared (band, byte)
+    key over 8 single-byte bands, with band buckets wider than the
+    l7 corpus-relative cap max(L7_BUCKET_CAP_MIN, ⌈FRAC·N⌉) DROPPED
+    as degenerate keys; verify: Σ popcount(byte_a XOR byte_b) ≤ 14
+    over the 8 bytes. Recall, stated exactly: 8 byte bands pigeonhole-
+    guarantee every pair at Hamming ≤ 7 (r10's 4×16-bit keys only
+    guaranteed ≤ 3 — ADVICE r10 flagged the narrowing; single-byte
+    bands restore it) unless EVERY band the pair shares is over-cap —
+    and over-cap 8-bit buckets are the uniform-image signatures
+    (all-0/all-255 bytes) that carry no similarity information, while
+    genuinely near-identical payloads share distinctive byte values
+    (the planted byte-identical/single-edit pairs are pinned by
+    test_l73_planted_near_identical_images). Corpus note: the
+    synthetic corpus's near-dup texts are bag-of-words shuffles over
+    a shared vocabulary — DIFFERENT images under any translation-
+    sensitive perceptual hash — so natural pairs here sit at
+    Hamming ≥ 9.
 
-    Scale shape: decode is map-only 1:1; banding explodes 4 rows/doc
-    and joins on the 16-bit band keys — never all-pairs, but the band
-    space is a CONSTANT 2^16 per band (unlike l6/l7's minhash keys it
-    cannot grow with the corpus: there are only 2^16 possible keys),
-    so the candidate join is O(N²/2^18) worst-case — fine to ~10^8
-    docs, after which the l7-style sub-block cap is the honest next
-    lever; verify touches candidate pairs only, via the 8-byte band
-    arrays (zip_with + bit_count, all codegen)."""
+    Scale shape: decode is map-only 1:1; banding explodes 8 rows/doc
+    and joins on the capped band keys. A 64-bit hash's band-key
+    cardinality CANNOT grow with the corpus (keys are hash
+    substrings — at most 2^bits distinct values, the information-
+    theoretic ceiling the r10 deferral note glossed over), so the
+    linear-scale lever is the same one l7 measured: the cap bounds
+    the candidate join at N·cap/2 per band — linear in N at ANY
+    corpus size, vs the uncapped 16-bit keys' N²/2^18 (fine only to
+    ~10^8 docs). Verify touches candidate pairs only, via the 8-byte
+    band arrays (zip_with + bit_count, all codegen). The window that
+    computes bucket widths partitions on the same (band_id, band_key)
+    the join shuffles on — one exchange, shared."""
     import numpy as np
     import pyarrow as pa
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # metadata-cheap count BEFORE the repartition (parquet row-group
+    # stats), for the corpus-relative bucket cap
+    n_docs = docs.count()
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def decode(batches):
@@ -7438,24 +7450,28 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[_byte_expr(k) for k in range(L73_BANDS)]).alias("bands"),
     )
     sig = sig.localCheckpoint(eager=True)  # decode+hash once, not per branch
-    # 16-bit candidate keys: two adjacent bytes per band (see the
-    # L73_PIXELS note — 65,536 buckets/band vs the degenerate 256)
+    # single-byte candidate keys (8 bands — the full pigeonhole
+    # geometry), degenerate buckets dropped by the l7 cap below
     band_structs = [
         F.struct(
             F.lit(k).alias("band_id"),
-            (
-                F.element_at("bands", 2 * k + 1)
-                + F.element_at("bands", 2 * k + 2) * F.lit(256)
-            ).alias("band_key"),
+            F.element_at("bands", k + 1).alias("band_key"),
         )
-        for k in range(L73_KEY_BANDS)
+        for k in range(L73_BANDS)
     ]
     exploded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    cap = max(L7_BUCKET_CAP_MIN, math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
+    bw = Window.partitionBy("band_id", "band_key")
+    narrow = (
+        exploded.withColumn("bwidth", F.count("*").over(bw))
+        .where(F.col("bwidth") <= cap)
+        .drop("bwidth")
+    )
     cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band_id", "band_key"])
+        narrow.alias("a")
+        .join(narrow.alias("b"), ["band_id", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
@@ -7506,10 +7522,15 @@ _L73_PV0 = ", ".join(
     f"COALESCE(pv{i}, 0) AS pv{i}" for i in range(L73_PIXELS)
 )
 _L73_TOTAL = " + ".join(f"pv{i}" for i in range(L73_PIXELS))
-_L73_BAND_VALUES = ", ".join(f"({k})" for k in range(L73_KEY_BANDS))
+_L73_BAND_VALUES = ", ".join(f"({k})" for k in range(L73_BANDS))
 _L73_BYTE_CASE = " ".join(
-    f"WHEN {k} THEN byte{2 * k} + 256 * byte{2 * k + 1}"
-    for k in range(L73_KEY_BANDS)
+    f"WHEN {k} THEN byte{k}" for k in range(L73_BANDS)
+)
+#: l73's corpus-relative band-bucket cap — l7's formula over the
+#: documents table (every doc has a signature, so N = COUNT(*))
+_DUCK_L73_CAP = (
+    f"greatest({L7_BUCKET_CAP_MIN}, CAST(ceil({L7_BUCKET_CAP_FRAC} * "
+    "(SELECT COUNT(*) FROM documents)) AS BIGINT))"
 )
 _L73_HAMMING = " + ".join(
     f"bit_count(xor(x.byte{k}::BIGINT, y.byte{k}::BIGINT))"
@@ -7553,9 +7574,17 @@ ORACLE["l73_image_phash_neardup"] = f"""
              CASE k.band_id {_L73_BYTE_CASE} END AS band_key
       FROM bytes, (VALUES {_L73_BAND_VALUES}) AS k(band_id)
     ),
+    narrow AS (
+      SELECT doc_id, band_id, band_key
+      FROM (SELECT doc_id, band_id, band_key,
+                   COUNT(*) OVER (PARTITION BY band_id, band_key)
+                     AS bwidth
+            FROM bands)
+      WHERE bwidth <= {_DUCK_L73_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-      FROM bands a JOIN bands b
+      FROM narrow a JOIN narrow b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
     )
