@@ -6104,7 +6104,12 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on the rounded score. At 100 TB the bucket
     table stays 1024 rows no matter the corpus — that boundedness is
     the whole point of hashed features (vs an unbounded vocabulary
-    LM, the l20 head/tail problem DSIR sidesteps by construction)."""
+    LM, the l20 head/tail problem DSIR sidesteps by construction).
+    The hashed feature stream is a DIAMOND — the distribution agg and
+    the importance join both consume it — so it persists for the
+    call (l7's diamond-and-release: one md5 per gram instead of two;
+    r11, measured ~40% of the lane at sf1), the small top-N result is
+    eagerly checkpointed, and the cache is released before return."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", "source", _words(F.col("text")).alias("ws")
@@ -6132,6 +6137,7 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (_md5_int60(F.col("g")) % L64_BUCKETS).alias("b")
     )
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # BOTH distributions in one conditional-sum pass over the feature
     # stream (separate tgt/raw aggregations would each re-explode the
     # corpus — 3 corpus passes total instead of 2; plan-audited)
@@ -6171,12 +6177,15 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("llr"), 4).alias("importance"),
         )
     )
-    return (
+    out = (
         scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "lang", "source", "n_features", "importance")
         .orderBy(F.col("importance").desc(), "doc_id")
         .limit(L64_TOPN)
+        .localCheckpoint(eager=True)  # bounded: L64_TOPN rows
     )
+    grams.unpersist()
+    return out
 
 
 QUERIES["l64_dsir_importance"] = l64_dsir_importance
