@@ -1859,3 +1859,47 @@ def test_l7_planted_cluster_survives_bucket_cap(spark, tmp_path):
             ).collect()
         }
         assert planted_pairs <= pairs, (cap, planted_pairs - pairs)
+
+
+def test_ivf_trained_index_deterministic_and_cached(spark, sf_dir):
+    """The trained coarse quantizer must be a pure function of the
+    corpus: two independent trainings (cache bypassed) yield
+    bit-identical centroid matrices — the property the DuckDB oracle's
+    unrolled-CTE twin depends on — the cached call returns the same
+    arrays, cell labels are a subset of the seed grid, and every
+    corpus vector is assigned to a live cell."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _ivf_assign,
+        _ivf_corpus,
+        _ivf_index,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    sid1, cent1, cnorm1 = _ivf_index(emb)          # uncached
+    sid2, cent2, cnorm2 = _ivf_index(emb)          # uncached, retrain
+    assert np.array_equal(sid1, sid2)
+    assert cent1.tobytes() == cent2.tobytes()      # bit-identical
+    assert cnorm1.tobytes() == cnorm2.tobytes()
+    assert np.all(np.isfinite(cent1))
+
+    sidc, centc, _ = _ivf_index(emb, cache_key=sf_dir)
+    sidc2, centc2, _ = _ivf_index(emb, cache_key=sf_dir)
+    assert centc2 is centc and sidc2 is sidc       # cache hit
+    assert centc.tobytes() == cent1.tobytes()      # cache == retrain
+
+    mod = max(1, __import__("math").isqrt(emb.count()))
+    grid = {r["vec_id"] for r in emb.where(F.col("vec_id") % mod == 0).collect()}
+    assert set(sid1.tolist()) <= grid              # labels from the grid
+
+    cells = {
+        r["cell"]
+        for r in _ivf_assign(_ivf_corpus(emb), sid1, cent1, cnorm1)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert cells <= set(sid1.tolist())
