@@ -19,6 +19,7 @@ Scale rules:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -1173,7 +1174,8 @@ def _argmax_cells(q, norm, cent, cnorm):
     return besti
 
 
-#: Trained-index cache: (realpath, N) → (sid, cent, cnorm). The IVF
+#: Trained-index cache: (realpath, data fingerprint, N) →
+#: (sid, cent, cnorm) — see _ivf_cache_key. The IVF
 #: lanes share ONE index lineage (l17 search, l35 dedup blocking, l38
 #: recall sweep, s13 streaming ingest); training is a bounded action
 #: (FAISS-style: train once, serve many), so within a process the
@@ -1183,16 +1185,49 @@ def _argmax_cells(q, norm, cent, cnorm):
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _ivf_cache_key(cache_key: str, n: int):
+    """Staleness-proof cache key (VERDICT r11 item 2 / ADVICE r11):
+    (realpath, content fingerprint, N). The fingerprint is the sorted
+    (name, size, mtime_ns) of every data file under the path, so
+    rewriting the parquet in place with the SAME row count — or
+    reaching the same dir via a different path spelling — can no
+    longer serve stale centroids; any byte-level change forces a
+    retrain (pinned by test_ivf_cache_invalidates_on_rewrite)."""
+    rp = os.path.realpath(cache_key)
+    stats = []
+    try:
+        if os.path.isdir(rp):
+            for root, dirs, files in os.walk(rp):
+                dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+                for f in sorted(files):
+                    if f.startswith((".", "_")):
+                        continue
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    stats.append(
+                        (os.path.relpath(p, rp), st.st_size, st.st_mtime_ns)
+                    )
+        else:
+            st = os.stat(rp)
+            stats.append((os.path.basename(rp), st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass
+    return (rp, tuple(stats), n)
+
+
 def _ivf_index(emb: DataFrame, cache_key: str | None = None):
     """Train the coarse quantizer (VERDICT r10 item 1 — the promised
     trained IVF): Lloyd k-means over the corpus, initialized from the
     deterministic √N seed grid, refined for IVF_TRAIN_ITERS passes
     with l16's fused pattern — per pass ONE mapInArrow job that
     assigns every vector to its max-cosine centroid AND emits
-    per-partition PARTIAL per-cell sums, reduced driver-side (the
-    map-side combine of MLlib's treeAggregate; driver traffic is
-    tasks×nlist rows of 64 ints, the centroid matrix itself is
-    √N×64 ≈ 51 MB even at N = 10^10).
+    per-partition PARTIAL per-cell sums, then reduced ON THE CLUSTER
+    (VERDICT r11 item 1): groupBy("cidx") over the 64-col unpack is a
+    hash aggregate with map-side partial combine, so however many
+    partitions the corpus has (P = 10^4 at the 100 TB design point),
+    shuffle traffic is ≤ tasks×nlist tiny rows and the driver
+    receives ONLY the final nlist×(1+64) reduced matrix — √N×64 ≈
+    51 MB even at N = 10^10.
 
     Cross-engine bit-exactness (the DuckDB oracle unrolls the same
     iterations as CTEs): partial sums are FIXED-POINT int64 —
@@ -1210,7 +1245,7 @@ def _ivf_index(emb: DataFrame, cache_key: str | None = None):
     outside foreachBatch instead of re-scanning seeds per micro-batch
     (ADVICE r10)."""
     n = emb.count()
-    key = (cache_key, n) if cache_key is not None else None
+    key = _ivf_cache_key(cache_key, n) if cache_key is not None else None
     if key is not None and key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
     corpus = _ivf_corpus(emb)
@@ -1262,13 +1297,29 @@ def _ivf_index(emb: DataFrame, cache_key: str | None = None):
                     names=["cidx", "n", "s"],
                 )
 
+        # Cluster-side reduce: int64 sums are commutative/associative,
+        # so the hash aggregate (map-side combine → one tiny shuffle)
+        # yields bit-identical totals to any other reduce order; only
+        # nlist reduced rows ever reach the driver.
+        reduced = (
+            corpus.mapInArrow(partials, "cidx long, n long, s array<long>")
+            .select(
+                "cidx",
+                "n",
+                *[F.col("s").getItem(d).alias(f"s{d}") for d in range(n_dim)],
+            )
+            .groupBy("cidx")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{d}").alias(f"s{d}") for d in range(n_dim)],
+            )
+            .collect()
+        )
         agg_n = np.zeros(nlist, dtype=np.int64)
         agg_s = np.zeros((nlist, n_dim), dtype=np.int64)
-        for r in corpus.mapInArrow(
-            partials, "cidx long, n long, s array<long>"
-        ).collect():
-            agg_n[r["cidx"]] += r["n"]
-            agg_s[r["cidx"]] += np.array(r["s"], dtype=np.int64)
+        for r in reduced:
+            agg_n[r["cidx"]] = r["n"]
+            agg_s[r["cidx"]] = r[2:]  # the n_dim sum cols after cidx, n
         keep = np.flatnonzero(agg_n)
         sid = sid[keep]
         cent = agg_s[keep].astype(np.float64) / (
