@@ -2158,7 +2158,18 @@ def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_extract_all passes over the raw text, the lane's whole sf1
     cost), which also makes them the counts of what the sequential
     redactor actually masked — an IP inside an already-masked email
-    is (correctly) not double-counted."""
+    is (correctly) not double-counted.
+
+    Known false-positive mode (ADVICE r11): a document whose RAW text
+    already contains the literal tokens '<EMAIL>'/'<IP>'/'<PHONE>'
+    inflates the counts by those preexisting occurrences — counting
+    placeholders in the output cannot distinguish them from inserted
+    ones. Both engines agree (the oracle counts the same way), and
+    the synthetic corpus contains none (pinned by
+    test_l27_no_preexisting_placeholders); a production deployment
+    whose inputs may embed these tokens should switch the markers to
+    a sentinel that cannot occur in source text (e.g. a control-char
+    delimited token) before counting."""
     docs = load(spark, sf_dir, "documents")
     pii_text = F.concat(
         F.col("text"),
@@ -7414,15 +7425,24 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key over 8 single-byte bands, with band buckets wider than the
     l7 corpus-relative cap max(L7_BUCKET_CAP_MIN, ⌈FRAC·N⌉) DROPPED
     as degenerate keys; verify: Σ popcount(byte_a XOR byte_b) ≤ 14
-    over the 8 bytes. Recall, stated exactly: 8 byte bands pigeonhole-
-    guarantee every pair at Hamming ≤ 7 (r10's 4×16-bit keys only
-    guaranteed ≤ 3 — ADVICE r10 flagged the narrowing; single-byte
-    bands restore it) unless EVERY band the pair shares is over-cap —
-    and over-cap 8-bit buckets are the uniform-image signatures
-    (all-0/all-255 bytes) that carry no similarity information, while
-    genuinely near-identical payloads share distinctive byte values
-    (the planted byte-identical/single-edit pairs are pinned by
-    test_l73_planted_near_identical_images). Corpus note: the
+    over the 8 bytes. Recall, stated exactly (ADVICE r11 sharpened
+    this): 8 single-byte bands pigeonhole-guarantee every Hamming ≤ 7
+    pair PROVIDED the pair shares at least one UNDER-CAP band key —
+    that restores the band-count arithmetic r10's 4×16-bit keys
+    narrowed to ≤ 3, but the proviso is not a corner case at scale:
+    each band has only 256 possible keys, so the MEAN bucket width
+    N/256 crosses the cap from roughly N ≈ 13k upward, and a pair
+    whose every shared byte value is a popular one (uniform-image
+    all-0/all-255 signatures, but also any near-modal byte) is
+    silently skipped. The unconditional guarantee therefore holds
+    only below ~13k docs; above it, recall depends on near-identical
+    payloads sharing at least one RARE byte value — true for the
+    planted byte-identical/single-edit pairs pinned by
+    test_l73_planted_near_identical_images, and the measured
+    dropped-bucket fraction at both scales is banked in
+    BENCH_NOTES.md (r12) as evidence of what the cap actually
+    discards. This recall/linearity trade is shared by both engines
+    (the oracle caps identically). Corpus note: the
     synthetic corpus's near-dup texts are bag-of-words shuffles over
     a shared vocabulary — DIFFERENT images under any translation-
     sensitive perceptual hash — so natural pairs here sit at
@@ -7440,6 +7460,60 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band arrays (zip_with + bit_count, all codegen). The window that
     computes bucket widths partitions on the same (band_id, band_key)
     the join shuffles on — one exchange, shared."""
+    sig, n_docs = _l73_signatures(spark, sf_dir)
+    # single-byte candidate keys (8 bands — the full pigeonhole
+    # geometry), degenerate buckets dropped by the l7 cap below
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.element_at("bands", k + 1).alias("band_key"),
+        )
+        for k in range(L73_BANDS)
+    ]
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cap = max(L7_BUCKET_CAP_MIN, math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
+    bw = Window.partitionBy("band_id", "band_key")
+    narrow = (
+        exploded.withColumn("bwidth", F.count("*").over(bw))
+        .where(F.col("bwidth") <= cap)
+        .drop("bwidth")
+    )
+    cand = (
+        narrow.alias("a")
+        .join(narrow.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    bi = sig.select(F.col("doc_id").alias("doc_i"), F.col("bands").alias("bands_i"))
+    bj = sig.select(F.col("doc_id").alias("doc_j"), F.col("bands").alias("bands_j"))
+    hamming = F.aggregate(
+        F.zip_with(
+            "bands_i",
+            "bands_j",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(bi, "doc_i")
+        .join(bj, "doc_j")
+        .select("doc_i", "doc_j", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= L73_HAMMING_MAX)
+    )
+
+
+def _l73_signatures(spark: SparkSession, sf_dir: str):
+    """l73's decode + aHash signature stage, factored out so
+    tools/l73_cap_report.py can measure the cap's dropped-bucket
+    fraction on the EXACT production code path (ADVICE r11 asked for
+    banked evidence of what the cap discards). Returns
+    (checkpointed signatures DataFrame [doc_id, bands], n_docs)."""
     import numpy as np
     import pyarrow as pa
 
@@ -7510,51 +7584,7 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[_byte_expr(k) for k in range(L73_BANDS)]).alias("bands"),
     )
     sig = sig.localCheckpoint(eager=True)  # decode+hash once, not per branch
-    # single-byte candidate keys (8 bands — the full pigeonhole
-    # geometry), degenerate buckets dropped by the l7 cap below
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band_id"),
-            F.element_at("bands", k + 1).alias("band_key"),
-        )
-        for k in range(L73_BANDS)
-    ]
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    cap = max(L7_BUCKET_CAP_MIN, math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
-    bw = Window.partitionBy("band_id", "band_key")
-    narrow = (
-        exploded.withColumn("bwidth", F.count("*").over(bw))
-        .where(F.col("bwidth") <= cap)
-        .drop("bwidth")
-    )
-    cand = (
-        narrow.alias("a")
-        .join(narrow.alias("b"), ["band_id", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
-        )
-        .distinct()
-    )
-    bi = sig.select(F.col("doc_id").alias("doc_i"), F.col("bands").alias("bands_i"))
-    bj = sig.select(F.col("doc_id").alias("doc_j"), F.col("bands").alias("bands_j"))
-    hamming = F.aggregate(
-        F.zip_with(
-            "bands_i",
-            "bands_j",
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.join(bi, "doc_i")
-        .join(bj, "doc_j")
-        .select("doc_i", "doc_j", hamming.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= L73_HAMMING_MAX)
-    )
+    return sig, n_docs
 
 
 QUERIES["l73_image_phash_neardup"] = l73_image_phash_neardup

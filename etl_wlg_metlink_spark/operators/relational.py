@@ -301,7 +301,19 @@ def r12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     harmonic sum is the exact int64 Σ 2^(40-rho) (see HLL_RHO_CAP;
     empty registers contribute 2^40 each), and the only float ops are
     HLL_COEF / S and the standard small-range linear-counting branch
-    m·ln(m/V) (taken only when est ≤ 2.5m — sf0.001 territory)."""
+    m·ln(m/V) (taken only when est ≤ 2.5m — sf0.001 territory).
+
+    Cross-engine note on the ln (ADVICE r11): ln is not IEEE-mandated
+    correctly rounded, so Spark's Math.log and DuckDB's libm log may
+    differ by a few ulps — but the branch's inputs are only the 4096
+    possible V values, and an exhaustive sweep (pinned by
+    test_r12_linear_counting_no_boundary_values) shows every
+    m·ln(m/V) sits ≥ 1.07e-4 (≈ 4.7e8 ulps, worst case V=2782) away
+    from a floor(est+0.5) decision boundary; the m· scaling is an
+    exact power-of-two multiply, so a sub-1000-ulp ln disagreement
+    can never flip the reported estimate. The branch guard
+    est_raw ≤ 2.5m compares HLL_COEF/S, a single correctly-rounded
+    division of exact operands — identical on both engines."""
     lineitem = load(spark, sf_dir, "lineitem")
     h = F.conv(
         F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10

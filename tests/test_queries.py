@@ -1772,6 +1772,51 @@ def test_r12_hll_estimate_within_5pct_of_exact(spark):
         )
 
 
+def test_r12_linear_counting_no_boundary_values():
+    """ADVICE r11: r12's linear-counting branch m·ln(m/V) is computed
+    independently by Spark (Math.log) and DuckDB (libm log), and ln is
+    not IEEE-guaranteed correctly rounded. The bit-identical-estimate
+    contract survives because V has only HLL_M possible values, and
+    NONE of the resulting estimates sits anywhere near a
+    floor(est+0.5) decision boundary — proven exhaustively here: the
+    worst case (V=2782) is ≥ 1.07e-4 absolute ≈ 4.7e8 ulps away, so a
+    cross-engine ln disagreement of even 1000 ulps cannot flip the
+    reported integer. (The m· scaling is an exact power-of-two
+    multiply and the branch guard divides exact operands, so ln is
+    the ONLY inexact op in play.)"""
+    import math
+
+    from etl_wlg_metlink_spark.operators.relational import HLL_M
+
+    min_ulps = math.inf
+    for v in range(1, HLL_M + 1):
+        est = float(HLL_M) * math.log(float(HLL_M) / v)
+        t = est + 0.5
+        dist = abs(t - round(t))  # distance to the nearest flip point
+        if est > 0:
+            min_ulps = min(min_ulps, dist / math.ulp(est))
+    assert min_ulps > 1e5, min_ulps  # actual margin ≈ 4.7e8 ulps
+
+
+def test_l27_no_preexisting_placeholders(spark, sf_dir):
+    """l27 counts placeholder literals in the redacted OUTPUT (the
+    no-double-count design), so a raw text already containing
+    '<EMAIL>'/'<IP>'/'<PHONE>' would inflate the counts (see the l27
+    docstring's false-positive caveat, ADVICE r11). Pin that the
+    corpus the contract is banked on is clean of those tokens."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    hits = docs.where(
+        F.col("text").contains("<EMAIL>")
+        | F.col("text").contains("<IP>")
+        | F.col("text").contains("<PHONE>")
+    ).count()
+    assert hits == 0
+
+
 def test_l7_planted_cluster_survives_bucket_cap(spark, tmp_path):
     """VERDICT r10 item 6: pin l7's recall trade. A planted j >= 0.9
     near-dup cluster must keep ALL its pairs through the band-bucket
