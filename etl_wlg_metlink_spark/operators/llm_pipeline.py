@@ -1868,8 +1868,19 @@ def _verified_pairs_artifact(
     key = (_ivf_cache_key(sf_dir, 0), threshold)
     rows = _VERIFIED_PAIRS_CACHE.get(key)
     if rows is not None:
-        return spark.createDataFrame(
-            rows, "doc_i long, doc_j long, jaccard double"
+        # Rebuild DISTRIBUTED, not as a 1-partition LocalRelation: the
+        # consumers iterate joins over these edges (PageRank rounds,
+        # triangle enumeration), and a single-partition edge relation
+        # serializes every round. Measured same-session best-of-2 at
+        # sf0.1: l45 3.72 s (local) / 3.50 s (full recompute) vs
+        # 1.90 s with this repartition + eager checkpoint; l49
+        # 1.72/1.74 vs 0.93 s.
+        return (
+            spark.createDataFrame(
+                rows, "doc_i long, doc_j long, jaccard double"
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
         )
     pairs = _minhash_verified_pairs(spark, sf_dir, threshold)
     _VERIFIED_PAIRS_CACHE[key] = [
