@@ -1985,3 +1985,34 @@ def test_ivf_cache_invalidates_on_rewrite(spark, tmp_path):
     assert cent2 is not cent1  # retrained, not served stale
     assert cent1.tobytes() != cent2.tobytes()  # and on the NEW data
     assert np.array_equal(sid1, sid2)  # same grid labels (same N)
+
+
+def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir):
+    """The per-fingerprint ranked-retrieval artifact (l67's input) must
+    be byte-identical to a fresh l56 run — same schema, same rows —
+    and l56 itself must neither read nor populate the cache (it is the
+    lane that MEASURES retrieval; only metric consumers serve from the
+    stored run)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _BM25_RANKED_CACHE,
+        _bm25_ranked_artifact,
+        _ivf_cache_key,
+        l56_bm25_retrieval,
+    )
+
+    _BM25_RANKED_CACHE.clear()
+    fresh = l56_bm25_retrieval(spark, sf_dir)
+    assert not _BM25_RANKED_CACHE  # the mining lane never populates
+
+    cold = _bm25_ranked_artifact(spark, sf_dir)  # pays + populates
+    assert _ivf_cache_key(sf_dir, 0) in _BM25_RANKED_CACHE
+    warm = _bm25_ranked_artifact(spark, sf_dir)  # serves the rebuild
+
+    assert warm.schema == fresh.schema
+    assert (
+        sorted(map(tuple, fresh.collect()))
+        == sorted(map(tuple, cold.collect()))
+        == sorted(map(tuple, warm.collect()))
+    )
+    assert fresh.count() > 0
+    _BM25_RANKED_CACHE.clear()
