@@ -1192,7 +1192,16 @@ def _ivf_cache_key(cache_key: str, n: int):
     rewriting the parquet in place with the SAME row count — or
     reaching the same dir via a different path spelling — can no
     longer serve stale centroids; any byte-level change forces a
-    retrain (pinned by test_ivf_cache_invalidates_on_rewrite)."""
+    retrain (pinned by test_ivf_cache_invalidates_on_rewrite).
+
+    Fails CLOSED (ADVICE r12): a stat/walk failure mid-fingerprint
+    (file deleted during the walk, permission error, vanished path)
+    must not alias two corpus states under a truncated fingerprint —
+    that would revive exactly the stale-artifact hazard this key
+    guards four caches against. On any OSError the key degrades to a
+    fresh `object()` sentinel: unique per call, so it can never HIT a
+    cache and anything stored under it is never served again — the
+    caller recomputes (pinned by test_ivf_cache_key_fails_closed)."""
     rp = os.path.realpath(cache_key)
     stats = []
     try:
@@ -1211,7 +1220,7 @@ def _ivf_cache_key(cache_key: str, n: int):
             st = os.stat(rp)
             stats.append((os.path.basename(rp), st.st_size, st.st_mtime_ns))
     except OSError:
-        pass
+        return (rp, object(), n)  # unique → never a cache hit
     return (rp, tuple(stats), n)
 
 

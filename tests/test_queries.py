@@ -1987,6 +1987,47 @@ def test_ivf_cache_invalidates_on_rewrite(spark, tmp_path):
     assert np.array_equal(sid1, sid2)  # same grid labels (same N)
 
 
+def test_ivf_cache_key_fails_closed(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a stat/walk failure mid-fingerprint must NOT
+    degrade the cache key to a truncated/empty fingerprint that can
+    alias two corpus states — the key must fail closed (unique
+    sentinel, never a hit), forcing a retrain."""
+    import os as _os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    path = str(tmp_path / "emb")
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 97) - 48) for d in range(64)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    # healthy keys for the same untouched path are equal (cacheable)
+    assert lp._ivf_cache_key(path, 40) == lp._ivf_cache_key(path, 40)
+
+    def broken_walk(*a, **k):
+        raise OSError("simulated stat failure mid-walk")
+        yield  # pragma: no cover — keeps it a generator
+
+    monkeypatch.setattr(_os, "walk", broken_walk)
+    k1 = lp._ivf_cache_key(path, 40)
+    k2 = lp._ivf_cache_key(path, 40)
+    assert k1 != k2  # unique per call → can never alias states
+
+    # end-to-end: a trained index cached under a healthy key is NOT
+    # served while fingerprinting is broken — _ivf_index retrains
+    monkeypatch.undo()
+    emb = spark.read.parquet(path)
+    _, cent1, _ = lp._ivf_index(emb, cache_key=path)
+    monkeypatch.setattr(_os, "walk", broken_walk)
+    _, cent2, _ = lp._ivf_index(spark.read.parquet(path), cache_key=path)
+    assert cent2 is not cent1  # retrained: no stale serve under error
+    assert cent1.tobytes() == cent2.tobytes()  # same data → same result
+
+
 def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir):
     """The per-fingerprint ranked-retrieval artifact (l67's input) must
     be byte-identical to a fresh l56 run — same schema, same rows —
