@@ -116,7 +116,17 @@ def main() -> None:
         # survives), but a new SparkContext — empty block manager,
         # empty cache, fresh codegen state. That isolates session
         # accumulation from real query cost without a process restart.
+        # Also drop the module-level artifact caches (trained IVF,
+        # verified pairs, CC labels, BM25 run): they key on the corpus
+        # fingerprint and would survive the session teardown, so
+        # without this the "fresh" number for a consumer lane times a
+        # warm artifact rebuild, order-dependently (ADVICE r12).
         spark.stop()
+        from etl_wlg_metlink_spark.operators.llm_pipeline import (
+            clear_artifact_caches,
+        )
+
+        clear_artifact_caches()
         spark = build_session(app_name="bench_fresh")
         for name in worst:
             fresh[name] = round(_time_query(spark, queries()[name], sf_dir), 3)
@@ -164,6 +174,9 @@ def main() -> None:
     detail = {"total_sec": total, "sf": sf, "queries": timings}
     if fresh:
         detail["fresh_session"] = fresh
+        # fresh numbers are COLD: session rebuilt AND artifact caches
+        # cleared, so they reproduce regardless of lane ordering
+        detail["fresh_session_cold_caches"] = True
     if not args.only:  # partial runs must not clobber the full record
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)

@@ -1863,6 +1863,14 @@ def _min_label_propagation(
 #: downstream CONSUMERS (CC labels, PageRank, triangles, leakage),
 #: which in production read the manifest rather than re-mining it.
 _VERIFIED_PAIRS_CACHE: dict = {}
+#: per-(applicationId, fingerprint) memo of the REBUILT checkpointed
+#: DataFrame (ADVICE r12): the warm path eagerly checkpoints its
+#: rebuild, and without this memo every consumer call in a session
+#: would checkpoint a fresh copy and never release the previous one —
+#: accumulating RDD blocks in executor storage over a long session.
+#: Keyed by applicationId so a new SparkSession (whose DataFrames are
+#: unusable across contexts) naturally misses.
+_VERIFIED_PAIRS_DF_CACHE: dict = {}
 
 
 def _verified_pairs_artifact(
@@ -1883,14 +1891,22 @@ def _verified_pairs_artifact(
         # serializes every round. Measured same-session best-of-2 at
         # sf0.1: l45 3.72 s (local) / 3.50 s (full recompute) vs
         # 1.90 s with this repartition + eager checkpoint; l49
-        # 1.72/1.74 vs 0.93 s.
-        return (
-            spark.createDataFrame(
-                rows, "doc_i long, doc_j long, jaccard double"
+        # 1.72/1.74 vs 0.93 s. The rebuilt checkpoint is memoized per
+        # (applicationId, key) so repeated consumers in one session
+        # reuse ONE set of checkpointed blocks (ADVICE r12) instead of
+        # leaking a new one per call.
+        df_key = (spark.sparkContext.applicationId, key)
+        df = _VERIFIED_PAIRS_DF_CACHE.get(df_key)
+        if df is None:
+            df = (
+                spark.createDataFrame(
+                    rows, "doc_i long, doc_j long, jaccard double"
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .localCheckpoint(eager=True)
             )
-            .repartition(spark.sparkContext.defaultParallelism)
-            .localCheckpoint(eager=True)
-        )
+            _VERIFIED_PAIRS_DF_CACHE[df_key] = df
+        return df
     pairs = _minhash_verified_pairs(spark, sf_dir, threshold)
     _VERIFIED_PAIRS_CACHE[key] = [
         (r["doc_i"], r["doc_j"], r["jaccard"]) for r in pairs.collect()
@@ -3447,6 +3463,22 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pipeline and neither reads nor populates this cache; the first
 #: downstream consumer (l67) pays the cold compute.
 _BM25_RANKED_CACHE: dict = {}
+
+
+def clear_artifact_caches() -> None:
+    """Drop every module-level derived-artifact cache (trained IVF
+    index, verified near-dup pairs, CC labels, BM25 ranked run).
+    ADVICE r12: the caches outlive a SparkSession (they key on the
+    corpus fingerprint, not the session), so a 'fresh-session'
+    re-timing in the same process would otherwise measure a warm
+    artifact rebuild, not the pipeline — bench.py calls this before
+    its fresh pass so banked fresh numbers are cold and reproducible
+    regardless of lane ordering."""
+    _IVF_INDEX_CACHE.clear()
+    _VERIFIED_PAIRS_CACHE.clear()
+    _VERIFIED_PAIRS_DF_CACHE.clear()
+    _CC_LABELS_CACHE.clear()
+    _BM25_RANKED_CACHE.clear()
 
 
 def _bm25_ranked_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2057,3 +2057,27 @@ def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir):
     )
     assert fresh.count() > 0
     _BM25_RANKED_CACHE.clear()
+
+
+def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir):
+    """ADVICE r12: the warm path eagerly checkpoints its rebuild, so
+    repeated consumer calls in one session must reuse ONE checkpointed
+    DataFrame (same object) instead of accumulating a fresh set of
+    checkpointed blocks per call; clear_artifact_caches must drop the
+    memo along with the row caches."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    lp.clear_artifact_caches()
+    cold = lp._verified_pairs_artifact(spark, sf_dir)  # mines + stores
+    assert lp._VERIFIED_PAIRS_CACHE and not lp._VERIFIED_PAIRS_DF_CACHE
+    warm1 = lp._verified_pairs_artifact(spark, sf_dir)
+    warm2 = lp._verified_pairs_artifact(spark, sf_dir)
+    assert warm1 is warm2  # one rebuild, one checkpoint, memoized
+    assert len(lp._VERIFIED_PAIRS_DF_CACHE) == 1
+    assert sorted(map(tuple, warm1.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+    lp.clear_artifact_caches()
+    assert not lp._VERIFIED_PAIRS_CACHE and not lp._VERIFIED_PAIRS_DF_CACHE
+    assert not lp._IVF_INDEX_CACHE and not lp._BM25_RANKED_CACHE
+    assert not lp._CC_LABELS_CACHE

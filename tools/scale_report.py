@@ -15,9 +15,13 @@ separate ~20-min sessions whose ambient throughput differs by ±20-25%,
 so cheap lanes' exponents breathe ±0.1 between banks. `--adjudicate`
 automates the method that cleared every r10/r11 flag by hand: rerun
 ALL flagged lanes back-to-back at both scales in one window
-(`bench.py --only` twice, minutes apart) and report the paired
-exponent next to the banked one — a flag is NOISE if the paired run
-measures e ≤ 1.0, a real pathology if it reproduces.
+(`bench.py --only` three times per scale, minutes apart) and report
+the paired exponents' median + spread next to the banked one — a
+flag is NOISE only if the MEDIAN paired exponent is ≤ 1.0 (ADVICE
+r12: noise deflates exponents too — a load spike in the sf0.1
+denominator or a lucky-fast sf1 run makes one pair look sub-linear —
+so a single best pair cannot clear a flag), a real pathology if the
+median reproduces it.
 
 Usage: python tools/scale_report.py [--adjudicate]
 """
@@ -47,7 +51,10 @@ def _only_run(names: list[str], env_dir: str | None) -> dict[str, float]:
     for line in proc.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            d = json.loads(line)
+            try:  # Spark/log4j noise can also start with '{'
+                d = json.loads(line)
+            except ValueError:
+                continue
             if isinstance(d.get("queries"), dict) and d["queries"]:
                 timings = d["queries"]
     if timings is None:
@@ -58,31 +65,50 @@ def _only_run(names: list[str], env_dir: str | None) -> dict[str, float]:
     return timings
 
 
-def _paired_run(names: list[str]) -> dict[str, tuple[float, float, float]]:
-    """TWO paired same-window samples of `names` at sf0.1 then sf1
-    (four bench.py --only runs, minutes apart), keeping each lane's
-    MIN exponent and the run pair that achieved it. Min, not mean:
-    ambient noise only ever INFLATES a paired exponent (a GC pause or
-    load spike in the sf1 run, or a lucky-fast sf0.1 denominator), so
-    the min over samples is the tightest honest bound on how the lane
-    actually scales — measured l35 churn across four same-window pairs
-    in one session: e = 0.82–1.03."""
+ADJUDICATE_SAMPLES = 3
+
+
+def _paired_run(names: list[str]) -> dict[str, dict]:
+    """THREE paired same-window samples of `names` at sf0.1 then sf1
+    (six bench.py --only runs, minutes apart); each lane is judged on
+    the MEDIAN paired exponent with the full spread reported. Median,
+    not min (ADVICE r12): ambient noise moves a paired exponent BOTH
+    ways — a load spike in the sf1 run inflates it, but a spike in
+    the sf0.1 denominator (or a lucky-fast sf1 run) DEFLATES it — so
+    keeping the single best pair would let one lucky sample clear a
+    genuinely super-linear lane. Measured l35 churn across four
+    same-window pairs in one session: e = 0.82–1.03; the median of 3
+    sits inside that band, the min does not have to."""
     samples = []
-    for _ in range(2):
+    for _ in range(ADJUDICATE_SAMPLES):
         s0 = _only_run(names, None)
         s1 = _only_run(names, SF1_DIR)
         samples.append((s0, s1))
     paired = {}
     for n in names:
-        best = None
+        pts = []
         for s0, s1 in samples:
             t0, t1 = s0.get(n), s1.get(n)
             if t0 and t1 and t0 > 0 and t1 > 0:
                 e = round(math.log(t1 / t0) / math.log(10.0), 2)
-                if best is None or e < best[2]:
-                    best = (t0, t1, e)
-        if best is not None:
-            paired[n] = best
+                pts.append((e, t0, t1))
+        if not pts:
+            continue
+        pts.sort()
+        mid = len(pts) // 2
+        med_e = (
+            pts[mid][0]
+            if len(pts) % 2
+            else round((pts[mid - 1][0] + pts[mid][0]) / 2, 2)
+        )
+        rep = pts[mid]  # the sample at/above the median, for t0/t1
+        paired[n] = {
+            "median_e": med_e,
+            "spread": (pts[0][0], pts[-1][0]),
+            "t0": rep[1],
+            "t1": rep[2],
+            "n": len(pts),
+        }
     return paired
 
 
@@ -133,22 +159,24 @@ def main() -> None:
         paired = {}
         if "--adjudicate" in sys.argv[1:]:
             print(
-                f"adjudicating {len(flagged)} flagged lane(s) with two "
-                "paired same-window reruns (four bench.py --only runs)..."
+                f"adjudicating {len(flagged)} flagged lane(s) with "
+                f"{ADJUDICATE_SAMPLES} paired same-window reruns "
+                f"({2 * ADJUDICATE_SAMPLES} bench.py --only runs)..."
             )
             paired = _paired_run([r[0] for r in flagged])
         lines += ["", "Flagged super-linear lanes (need a plan diff):", ""]
         for name, t0, t1, ratio, e in flagged:
             note = ""
             if name in paired:
-                p0, p1, pe = paired[name]
+                p = paired[name]
                 verdict = (
-                    "cleared: cross-window noise" if pe <= 1.0
+                    "cleared: cross-window noise" if p["median_e"] <= 1.0
                     else "REPRODUCES — real pathology"
                 )
                 note = (
-                    f" — best of 2 paired same-window reruns: {p0}s → "
-                    f"{p1}s (e={pe}, {verdict})"
+                    f" — median of {p['n']} paired same-window reruns: "
+                    f"{p['t0']}s → {p['t1']}s (e={p['median_e']}, spread "
+                    f"{p['spread'][0]}–{p['spread'][1]}, {verdict})"
                 )
             lines.append(
                 f"- **{name}**: {t0}s → {t1}s (×{ratio}, e={e}){note}"
