@@ -7565,66 +7565,109 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aHash: bit_i = (64·pixel_i ≥ Σpixels) — integer-exact in both
     engines (no float average). Candidates: any shared (band, byte)
     key over 8 single-byte bands, with band buckets wider than the
-    l7 corpus-relative cap max(L7_BUCKET_CAP_MIN, ⌈FRAC·N⌉) DROPPED
-    as degenerate keys; verify: Σ popcount(byte_a XOR byte_b) ≤ 14
-    over the 8 bytes. Recall, stated exactly (ADVICE r11 sharpened
-    this): 8 single-byte bands pigeonhole-guarantee every Hamming ≤ 7
-    pair PROVIDED the pair shares at least one UNDER-CAP band key —
-    that restores the band-count arithmetic r10's 4×16-bit keys
-    narrowed to ≤ 3, but the proviso is not a corner case at scale:
-    each band has only 256 possible keys, so the MEAN bucket width
-    N/256 crosses the cap from roughly N ≈ 13k upward, and a pair
-    whose every shared byte value is a popular one (uniform-image
-    all-0/all-255 signatures, but also any near-modal byte) is
-    silently skipped. The unconditional guarantee therefore holds
-    only below ~13k docs; above it, recall depends on near-identical
-    payloads sharing at least one RARE byte value — true for the
-    planted byte-identical/single-edit pairs pinned by
-    test_l73_planted_near_identical_images, and the measured
-    dropped-bucket fraction at both scales is banked in
-    BENCH_NOTES.md (r12) as evidence of what the cap actually
-    discards. This recall/linearity trade is shared by both engines
-    (the oracle caps identically). Corpus note: the
-    synthetic corpus's near-dup texts are bag-of-words shuffles over
-    a shared vocabulary — DIFFERENT images under any translation-
-    sensitive perceptual hash — so natural pairs here sit at
-    Hamming ≥ 9.
+    l7 corpus-relative cap max(L7_BUCKET_CAP_MIN, ⌈FRAC·N⌉) SPLIT by
+    a secondary byte — the next band's byte, giving a 16-bit key
+    inside the over-cap bucket — and only still-over-cap refined
+    buckets dropped (depth-2 fallback); verify:
+    Σ popcount(byte_a XOR byte_b) ≤ 14 over the 8 bytes.
+
+    Recall, stated exactly (VERDICT r12 item 1 — this replaces the
+    r11/r12 drop-at-depth-1 cap whose own banked report showed 88.3%
+    of sf1 docs invisible to the candidate join): 8 single-byte bands
+    pigeonhole-guarantee every Hamming ≤ 7 pair shares at least one
+    band byte k. If band k's primary bucket is under-cap the pair is
+    joined there, unconditionally — and each band has only 256 keys,
+    so from N ≈ 13k docs the MEAN bucket width N/256 crosses the cap
+    and popular-byte buckets stop being joinable at depth 1. Those
+    buckets are now SPLIT by byte (k+1) mod 8 instead of dropped: the
+    pair is still joined provided it also agrees on that secondary
+    byte (near-identical payloads agree on most bytes) and the
+    refined 16-bit bucket is under-cap — 65,536 keys per band, mean
+    width crosses the cap only near N ≈ 3.3M per band VALUE mass, in
+    practice only when ≥ cap docs share an identical 16-bit slice
+    (byte-identical signature families, which exact dedup l5 catches
+    upstream). A Hamming ≤ 7 pair is missed only if EVERY shared band
+    is over-cap AND at each such band the pair disagrees on the
+    secondary byte or the refined bucket is itself degenerate —
+    tools/l73_cap_report.py banks the measured fractions at each
+    scale (r13: docs with all bands unjoinable ≈ 0% at sf1, vs 88.3%
+    under the drop-at-depth-1 cap). The popular-byte planted pair the
+    old cap silently lost is pinned by
+    test_l73_popular_byte_pair_survives_split. This recall/linearity
+    trade is shared by both engines (the oracle splits identically).
+    Corpus note: the synthetic corpus's near-dup texts are
+    bag-of-words shuffles over a shared vocabulary — DIFFERENT images
+    under any translation-sensitive perceptual hash — so natural
+    pairs here sit at Hamming ≥ 9.
 
     Scale shape: decode is map-only 1:1; banding explodes 8 rows/doc
     and joins on the capped band keys. A 64-bit hash's band-key
     cardinality CANNOT grow with the corpus (keys are hash
     substrings — at most 2^bits distinct values, the information-
     theoretic ceiling the r10 deferral note glossed over), so the
-    linear-scale lever is the same one l7 measured: the cap bounds
-    the candidate join at N·cap/2 per band — linear in N at ANY
+    linear-scale lever is the same one l7 measured: every JOINED
+    bucket — primary or refined — has width ≤ cap, so the candidate
+    join stays bounded at N·cap/2 per band — linear in N at ANY
     corpus size, vs the uncapped 16-bit keys' N²/2^18 (fine only to
     ~10^8 docs). Verify touches candidate pairs only, via the 8-byte
-    band arrays (zip_with + bit_count, all codegen). The window that
-    computes bucket widths partitions on the same (band_id, band_key)
-    the join shuffles on — one exchange, shared."""
+    band arrays (zip_with + bit_count, all codegen). Both bucket-width
+    windows and the self-join cluster on prefixes of
+    (band_id, band_key, jk2) — hash partitioning on (band_id,
+    band_key) satisfies all three, one exchange, shared."""
     sig, n_docs = _l73_signatures(spark, sf_dir)
+    return _l73_pairs(sig, n_docs)
+
+
+def _l73_pairs(sig: DataFrame, n_docs: int) -> DataFrame:
+    """l73's candidate + verify stage over [doc_id, bands] signatures,
+    factored out so tests can plant signature-level ground truth (the
+    popular-byte pair) against the EXACT production candidate logic.
+    See l73_image_phash_neardup for the recall statement."""
     # single-byte candidate keys (8 bands — the full pigeonhole
-    # geometry), degenerate buckets dropped by the l7 cap below
+    # geometry) plus the NEXT band's byte as the secondary split key
+    # for over-cap buckets (VERDICT r12 item 1)
     band_structs = [
         F.struct(
             F.lit(k).alias("band_id"),
             F.element_at("bands", k + 1).alias("band_key"),
+            F.element_at("bands", (k + 1) % L73_BANDS + 1).alias("band_key2"),
         )
         for k in range(L73_BANDS)
     ]
     exploded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key", "band.band_key2")
     cap = max(L7_BUCKET_CAP_MIN, math.ceil(L7_BUCKET_CAP_FRAC * n_docs))
-    bw = Window.partitionBy("band_id", "band_key")
-    narrow = (
-        exploded.withColumn("bwidth", F.count("*").over(bw))
-        .where(F.col("bwidth") <= cap)
-        .drop("bwidth")
+    # depth 1: under-cap primary buckets join whole (jk2 = -1, a
+    # sentinel outside the 0..255 byte range, so a whole bucket keys
+    # identically for every member); over-cap buckets refine to the
+    # 16-bit (band_key, band_key2) split. depth 2: refined buckets
+    # still over cap are dropped — by then ≥ cap docs share an
+    # identical 16-bit hash slice, a degenerate mass no key can
+    # separate. Both windows and the join cluster on prefixes of the
+    # same keys → ONE exchange on (band_id, band_key).
+    w1 = Window.partitionBy("band_id", "band_key")
+    lvl = exploded.withColumn(
+        "jk2",
+        F.when(F.count("*").over(w1) <= cap, F.lit(-1)).otherwise(
+            F.col("band_key2")
+        ),
     )
+    w2 = Window.partitionBy("band_id", "band_key", "jk2")
+    narrow = (
+        lvl.withColumn("bw2", F.count("*").over(w2))
+        .where(F.col("bw2") <= cap)
+        .select("doc_id", "band_id", "band_key", "jk2")
+    )
+    # the self-join is a diamond over `narrow` (explode + two windows):
+    # persist it (columnar, skinny ≤ 8N rows) so the banding pipeline
+    # runs once, not once per join side — the l6/l7 diamond pattern;
+    # the eager checkpoint of the bounded pair result below makes the
+    # unpersist safe before returning
+    narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         narrow.alias("a")
-        .join(narrow.alias("b"), ["band_id", "band_key"])
+        .join(narrow.alias("b"), ["band_id", "band_key", "jk2"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
@@ -7642,12 +7685,15 @@ def l73_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    result = (
         cand.join(bi, "doc_i")
         .join(bj, "doc_j")
         .select("doc_i", "doc_j", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= L73_HAMMING_MAX)
+        .localCheckpoint(eager=True)  # bounded: verified pairs only
     )
+    narrow.unpersist()
+    return result
 
 
 def _l73_signatures(spark: SparkSession, sf_dir: str):
@@ -7758,6 +7804,10 @@ _L73_BAND_VALUES = ", ".join(f"({k})" for k in range(L73_BANDS))
 _L73_BYTE_CASE = " ".join(
     f"WHEN {k} THEN byte{k}" for k in range(L73_BANDS)
 )
+#: secondary split key for over-cap buckets: the NEXT band's byte
+_L73_BYTE_CASE2 = " ".join(
+    f"WHEN {k} THEN byte{(k + 1) % L73_BANDS}" for k in range(L73_BANDS)
+)
 #: l73's corpus-relative band-bucket cap — l7's formula over the
 #: documents table (every doc has a signature, so N = COUNT(*))
 _DUCK_L73_CAP = (
@@ -7803,22 +7853,30 @@ ORACLE["l73_image_phash_neardup"] = f"""
     ),
     bands AS (
       SELECT doc_id, k.band_id,
-             CASE k.band_id {_L73_BYTE_CASE} END AS band_key
+             CASE k.band_id {_L73_BYTE_CASE} END AS band_key,
+             CASE k.band_id {_L73_BYTE_CASE2} END AS band_key2
       FROM bytes, (VALUES {_L73_BAND_VALUES}) AS k(band_id)
     ),
+    lvl AS (
+      SELECT doc_id, band_id, band_key,
+             CASE WHEN COUNT(*) OVER (PARTITION BY band_id, band_key)
+                       <= {_DUCK_L73_CAP}
+                  THEN -1 ELSE band_key2 END AS jk2
+      FROM bands
+    ),
     narrow AS (
-      SELECT doc_id, band_id, band_key
-      FROM (SELECT doc_id, band_id, band_key,
-                   COUNT(*) OVER (PARTITION BY band_id, band_key)
-                     AS bwidth
-            FROM bands)
-      WHERE bwidth <= {_DUCK_L73_CAP}
+      SELECT doc_id, band_id, band_key, jk2
+      FROM (SELECT doc_id, band_id, band_key, jk2,
+                   COUNT(*) OVER (PARTITION BY band_id, band_key, jk2)
+                     AS bw2
+            FROM lvl)
+      WHERE bw2 <= {_DUCK_L73_CAP}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
       FROM narrow a JOIN narrow b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
+           AND a.jk2 = b.jk2 AND a.doc_id < b.doc_id
     )
     SELECT doc_i, doc_j, CAST({_L73_HAMMING} AS INT) AS hamming
     FROM cand

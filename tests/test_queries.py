@@ -1707,6 +1707,50 @@ def test_l73_planted_near_identical_images(spark, tmp_path):
     assert all(4 not in k for k in got)
 
 
+def test_l73_popular_byte_pair_survives_split(spark):
+    """VERDICT r12 item 1: a Hamming-0 pair whose EVERY byte value is
+    popular (each primary band bucket driven over the cap by filler
+    mass) was silently invisible to the drop-at-depth-1 cap — the
+    split cap must still find it, because the fillers disagree with
+    the pair on the SECONDARY byte, so the refined 16-bit buckets
+    isolate the pair. Also pins the join bound: fillers that share a
+    popular primary byte but have unique secondary bytes must not
+    explode into candidates with each other."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L7_BUCKET_CAP_MIN,
+        _l73_pairs,
+    )
+
+    pair_bands = [10, 20, 30, 40, 50, 60, 70, 80]
+    rows = [(1, pair_bands), (2, list(pair_bands))]
+    n_fill = L7_BUCKET_CAP_MIN + 10  # drives every primary bucket over
+    # family A floods the pair's EVEN bands (0,2,4,6) with unique odd
+    # bytes; family B floods the ODD bands (1,3,5,7) with unique even
+    # bytes — so all 8 primary buckets of the pair are over-cap, but
+    # every refined (byte_k, byte_k+1) bucket containing the pair has
+    # width 2.
+    for f in range(n_fill):
+        a = list(pair_bands)
+        b = list(pair_bands)
+        for k in range(0, 8, 2):
+            a[(k + 1) % 8] = 100 + f  # A: keep even bytes, break odd
+            b[k] = 161 + f            # B: keep odd bytes, break even
+        rows.append((100 + f, a))
+        rows.append((1000 + f, b))
+    sig = spark.createDataFrame(rows, "doc_id long, bands array<int>")
+    got = {
+        (r["doc_i"], r["doc_j"]): r["hamming"]
+        for r in _l73_pairs(sig, n_docs=len(rows)).collect()
+    }
+    assert got.get((1, 2)) == 0, (
+        "popular-byte Hamming-0 pair must survive the bucket split"
+    )
+    # fillers within a family share over-cap primary buckets but have
+    # unique secondary bytes → refined buckets of width 1 → no pairs
+    # among fillers, and none with the planted pair (Hamming > 14)
+    assert all(k == (1, 2) for k in got), got
+
+
 def test_r37_only_returned_quarter_revenue(spark, sf_dir):
     """Top-20 discipline and filter correctness: revenue descends, and
     the top customer's revenue re-derives from a direct filtered
