@@ -88,6 +88,20 @@ def main() -> None:
             raise SystemExit(f"unknown queries: {unknown}")
         all_queries = {n: all_queries[n] for n in names}
 
+    if not args.only:
+        # Full runs start from a clean artifact store so the banked
+        # numbers are self-contained and reproducible: the first
+        # consumer of each artifact mines and persists it DURING the
+        # run (that cost is part of the measured window), later lanes
+        # read it — never leftovers from a previous process. --only
+        # probes deliberately keep the store: they measure the
+        # production serving path of whatever state exists.
+        from etl_wlg_metlink_spark.operators.llm_pipeline import (
+            clear_artifact_caches,
+        )
+
+        clear_artifact_caches(remove_persisted=True)
+
     spark = build_session(app_name="bench")
     timings: dict[str, float] = {}
     for name, fn in all_queries.items():
@@ -116,17 +130,17 @@ def main() -> None:
         # survives), but a new SparkContext — empty block manager,
         # empty cache, fresh codegen state. That isolates session
         # accumulation from real query cost without a process restart.
-        # Also drop the module-level artifact caches (trained IVF,
-        # verified pairs, CC labels, BM25 run): they key on the corpus
-        # fingerprint and would survive the session teardown, so
-        # without this the "fresh" number for a consumer lane times a
-        # warm artifact rebuild, order-dependently (ADVICE r12).
+        # Also drop the artifact state (trained-IVF dict, pairs memo,
+        # AND the on-disk store the suite just wrote): it keys on the
+        # corpus fingerprint and would survive the session teardown,
+        # so without this the "fresh" number for a consumer lane times
+        # a warm artifact read, order-dependently (ADVICE r12).
         spark.stop()
         from etl_wlg_metlink_spark.operators.llm_pipeline import (
             clear_artifact_caches,
         )
 
-        clear_artifact_caches()
+        clear_artifact_caches(remove_persisted=True)
         spark = build_session(app_name="bench_fresh")
         for name in worst:
             fresh[name] = round(_time_query(spark, queries()[name], sf_dir), 3)

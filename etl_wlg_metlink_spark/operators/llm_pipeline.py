@@ -18,8 +18,11 @@ Scale rules:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -1853,104 +1856,160 @@ def _min_label_propagation(
     )
 
 
-#: Verified near-dup pair set, cached per data fingerprint: the
-#: LSH-verified (doc_i, doc_j, jaccard) relation is the dedup
-#: pipeline's first materialized artifact — bounded by TRUE near-dups
-#: (256 rows at sf0.1, ~2.5k at sf1), the same size class the
-#: downstream broadcasts commit to. l6 — the lane whose MEASURED
-#: operator is this computation — always runs the real pipeline and
-#: does NOT read or populate this cache; the artifact serves the
-#: downstream CONSUMERS (CC labels, PageRank, triangles, leakage),
-#: which in production read the manifest rather than re-mining it.
-_VERIFIED_PAIRS_CACHE: dict = {}
+#: Artifact STORE root (VERDICT r12 item 2 — the production form of
+#: the fingerprint caches): derived artifacts (verified near-dup
+#: pairs, CC labels, BM25 ranked run) are written ONCE to parquet
+#: under a fingerprint-keyed path and every consumer — in this
+#: process or any later one — reads the file. That is the shape a
+#: real pipeline has at 100 TB: the manifest lives in storage (S3/
+#: HDFS in production, a local dir here), survives restarts, is
+#: shared across sessions, and never bounds on driver RAM — the rows
+#: never transit the driver at all (write and read are both
+#: cluster-side). Overridable for tests and deployments.
+_ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
+    tempfile.gettempdir(), "spark_graft_artifacts"
+)
+
+
+def _artifact_path(kind: str, key) -> str | None:
+    """Storage path for a derived artifact: <root>/<kind>/<md5(key)>.
+    Returns None when the key is not cacheable — _ivf_cache_key
+    degrades to a unique object() sentinel on fingerprint errors
+    (fail-closed), and persisting under a never-matching key would
+    only accumulate garbage."""
+
+    def cacheable(k) -> bool:
+        if isinstance(k, (str, int, float, bool)) or k is None:
+            return True
+        if isinstance(k, tuple):
+            return all(cacheable(x) for x in k)
+        return False
+
+    if not cacheable(key):
+        return None
+    digest = hashlib.md5(repr(key).encode("utf-8")).hexdigest()
+    return os.path.join(_ARTIFACT_ROOT, kind, digest)
+
+
+def _artifact_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "_schema.json")
+    )
+
+
+def _write_artifact(df: DataFrame, path: str) -> None:
+    """Persist an artifact with a schema sidecar. The sidecar makes a
+    later read TYPE-exact (a bare parquet read can infer e.g. int
+    where the miner produced long); nullability is widened to
+    nullable — Spark's scanner always reads parquet as nullable and
+    refuses to narrow, and nullable is the safe (superset) direction
+    for every consumer. Sidecar is underscore-prefixed, so parquet
+    readers ignore it (like _SUCCESS). Write failures degrade to
+    not-persisted (the caller already has the computed DataFrame);
+    they never fail the query."""
+    try:
+        df.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
+    except Exception:  # storage unavailable → serve uncached
+        pass
+
+
+def _read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "_schema.json")) as f:
+        schema = StructType.fromJson(json.load(f))
+    return spark.read.schema(schema).parquet(path)
+
+
 #: per-(applicationId, fingerprint) memo of the REBUILT checkpointed
-#: DataFrame (ADVICE r12): the warm path eagerly checkpoints its
-#: rebuild, and without this memo every consumer call in a session
-#: would checkpoint a fresh copy and never release the previous one —
-#: accumulating RDD blocks in executor storage over a long session.
-#: Keyed by applicationId so a new SparkSession (whose DataFrames are
-#: unusable across contexts) naturally misses.
+#: pairs DataFrame (ADVICE r12): the warm path eagerly checkpoints
+#: its rebuild, and without this memo every consumer call in a
+#: session would checkpoint a fresh copy and never release the
+#: previous one — accumulating RDD blocks in executor storage over a
+#: long session. Keyed by applicationId so a new SparkSession (whose
+#: DataFrames are unusable across contexts) naturally misses.
 _VERIFIED_PAIRS_DF_CACHE: dict = {}
 
 
 def _verified_pairs_artifact(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
-    """Fingerprint-cached verified near-dup pairs (see
-    _VERIFIED_PAIRS_CACHE): first consumer pays the full
-    _minhash_verified_pairs compute, later consumers rebuild a
-    session-independent local relation from the collected rows —
-    byte-identical (the pipeline is deterministic), staleness-proof
-    (same key as the trained IVF index)."""
+    """Verified near-dup pairs, persisted per data fingerprint: the
+    LSH-verified (doc_i, doc_j, jaccard) relation is the dedup
+    pipeline's first materialized artifact — bounded by TRUE near-dups
+    (256 rows at sf0.1, ~2.5k at sf1; SCALE.md banks the growth law).
+    The first consumer EVER pays the full _minhash_verified_pairs
+    compute and writes the manifest to parquet under the fingerprint
+    key (VERDICT r12 item 2); every later consumer — this process or
+    any later one — reads the file. Byte-identical (the pipeline is
+    deterministic), staleness-proof (same fingerprint key as the
+    trained IVF index), and the rows never transit the driver: write
+    and read are both cluster-side. l6 — the lane whose MEASURED
+    operator is this computation — always runs the real pipeline and
+    neither reads nor writes the artifact.
+
+    The read is repartitioned and eagerly checkpointed, NOT served as
+    the raw parquet scan: the consumers iterate joins over these
+    edges (PageRank rounds, triangle enumeration) and the tiny file
+    would scan as one partition, serializing every round (measured at
+    sf0.1 when this was a LocalRelation rebuild: l45 3.72 s vs 1.90 s
+    distributed, l49 1.72 s vs 0.93 s). The checkpointed DataFrame is
+    memoized per (applicationId, key) so repeated consumers in one
+    session reuse ONE set of checkpointed blocks (ADVICE r12) instead
+    of leaking a new one per call."""
     key = (_ivf_cache_key(sf_dir, 0), threshold)
-    rows = _VERIFIED_PAIRS_CACHE.get(key)
-    if rows is not None:
-        # Rebuild DISTRIBUTED, not as a 1-partition LocalRelation: the
-        # consumers iterate joins over these edges (PageRank rounds,
-        # triangle enumeration), and a single-partition edge relation
-        # serializes every round. Measured same-session best-of-2 at
-        # sf0.1: l45 3.72 s (local) / 3.50 s (full recompute) vs
-        # 1.90 s with this repartition + eager checkpoint; l49
-        # 1.72/1.74 vs 0.93 s. The rebuilt checkpoint is memoized per
-        # (applicationId, key) so repeated consumers in one session
-        # reuse ONE set of checkpointed blocks (ADVICE r12) instead of
-        # leaking a new one per call.
-        df_key = (spark.sparkContext.applicationId, key)
-        df = _VERIFIED_PAIRS_DF_CACHE.get(df_key)
-        if df is None:
-            df = (
-                spark.createDataFrame(
-                    rows, "doc_i long, doc_j long, jaccard double"
-                )
-                .repartition(spark.sparkContext.defaultParallelism)
-                .localCheckpoint(eager=True)
-            )
-            _VERIFIED_PAIRS_DF_CACHE[df_key] = df
+    df_key = (spark.sparkContext.applicationId, key)
+    memo = _VERIFIED_PAIRS_DF_CACHE.get(df_key)
+    if memo is not None:
+        return memo
+    path = _artifact_path("verified_pairs", key)
+    if path and _artifact_exists(path):
+        df = (
+            _read_artifact(spark, path)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        _VERIFIED_PAIRS_DF_CACHE[df_key] = df
         return df
     pairs = _minhash_verified_pairs(spark, sf_dir, threshold)
-    _VERIFIED_PAIRS_CACHE[key] = [
-        (r["doc_i"], r["doc_j"], r["jaccard"]) for r in pairs.collect()
-    ]
+    if path:
+        _write_artifact(pairs, path)
     return pairs
-
-
-#: Converged dedup-graph labels, cached per data fingerprint (same
-#: staleness-proof key as the trained IVF index): the LSH + CC
-#: lineage is a derived INDEX over the corpus — a production pipeline
-#: materializes the dedup manifest once and every downstream consumer
-#: (cluster rollup, keep/drop manifest, corpus build, graph audit)
-#: reads the artifact; re-running the full MinHash + propagation loop
-#: per consumer is the artificial thing. Values are the collected
-#: (node, lbl) rows — the SAME size class the l29 broadcast already
-#: commits to (clustered docs only, tiny vs the corpus; if labels
-#: ever outgrew broadcast size, both sites need the same rethink) —
-#: so a cache hit rebuilds a session-independent local relation and
-#: is byte-identical to recomputing (propagation is deterministic).
-_CC_LABELS_CACHE: dict = {}
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, lbl) converged component labels over l6's verified
     near-dup pairs: each clustered doc carries its component's minimum
     doc_id. Shared by l22 (cluster rollup), l29 (keep/drop manifest),
-    l42 (corpus build) and l69 (graph audit) — computed ONCE per
-    corpus fingerprint (see _CC_LABELS_CACHE), like the trained IVF
-    index. The oracle unrolls three propagation rounds in SQL —
+    l42 (corpus build) and l69 (graph audit). The LSH + CC lineage is
+    a derived INDEX over the corpus — a production pipeline
+    materializes the dedup manifest once and every downstream
+    consumer reads the artifact; re-running the full MinHash +
+    propagation loop per consumer is the artificial thing. Computed
+    ONCE per corpus fingerprint and persisted to parquet under the
+    fingerprint key (VERDICT r12 item 2), so any later session serves
+    from storage; byte-identical to recomputing (propagation is
+    deterministic), and the label set — bounded by clustered docs,
+    the size class the l29 broadcast commits to — never transits the
+    driver. The oracle unrolls three propagation rounds in SQL —
     valid because the test corpus converges within 3 rounds, which
     tests/test_queries.py asserts explicitly (a deeper corpus would
     need more unrolled rounds oracle-side; the engine loop converges
     regardless)."""
     key = _ivf_cache_key(sf_dir, 0)
-    rows = _CC_LABELS_CACHE.get(key)
-    if rows is not None:
-        return spark.createDataFrame(rows, "node long, lbl long")
+    path = _artifact_path("cc_labels", key)
+    if path and _artifact_exists(path):
+        return _read_artifact(spark, path)
     # the pair set arrives eagerly checkpointed with the upstream
     # diamond cache released. Near-dup graphs are tiny
     # relative to the corpus (pairs only where jaccard >= 0.8); the
     # iteration reuses them every round.
     pairs = _verified_pairs_artifact(spark, sf_dir)
     labels = _min_label_propagation(pairs)
-    _CC_LABELS_CACHE[key] = [(r["node"], r["lbl"]) for r in labels.collect()]
+    if path:
+        _write_artifact(labels, path)
     return labels
 
 
@@ -3451,50 +3510,50 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-#: l56's ranked top-K relation, cached per data fingerprint (same
-#: staleness-proof key as the trained IVF index and the verified-pair
-#: artifact): a RAG evaluation harness scores the ranking ONCE and
-#: every metric pass reads the stored run file — re-running full BM25
-#: per metric consumer is the artificial thing. Values are the
-#: collected (query_id, rnk, doc_id, score) rows — queries × K, the
-#: bounded size class l56 already eagerly checkpoints — plus the
-#: original schema so a rebuild is type-exact. l56 — the lane whose
-#: MEASURED operator is the retrieval itself — always runs the real
-#: pipeline and neither reads nor populates this cache; the first
-#: downstream consumer (l67) pays the cold compute.
-_BM25_RANKED_CACHE: dict = {}
-
-
-def clear_artifact_caches() -> None:
-    """Drop every module-level derived-artifact cache (trained IVF
-    index, verified near-dup pairs, CC labels, BM25 ranked run).
-    ADVICE r12: the caches outlive a SparkSession (they key on the
-    corpus fingerprint, not the session), so a 'fresh-session'
-    re-timing in the same process would otherwise measure a warm
-    artifact rebuild, not the pipeline — bench.py calls this before
-    its fresh pass so banked fresh numbers are cold and reproducible
-    regardless of lane ordering."""
+def clear_artifact_caches(remove_persisted: bool = False) -> None:
+    """Drop every in-process derived-artifact cache (trained IVF
+    index, verified-pairs DataFrame memo). ADVICE r12: the caches
+    outlive a SparkSession (they key on the corpus fingerprint, not
+    the session), so a 'fresh-session' re-timing in the same process
+    would otherwise measure a warm artifact rebuild, not the
+    pipeline. With remove_persisted=True the on-disk artifact store
+    (verified pairs, CC labels, BM25 run — VERDICT r12 item 2) is
+    deleted too, making the next consumer fully cold — bench.py uses
+    this at full-run start and before the fresh pass so banked
+    numbers are reproducible regardless of lane ordering or what a
+    previous process left in the store."""
     _IVF_INDEX_CACHE.clear()
-    _VERIFIED_PAIRS_CACHE.clear()
     _VERIFIED_PAIRS_DF_CACHE.clear()
-    _CC_LABELS_CACHE.clear()
-    _BM25_RANKED_CACHE.clear()
+    if remove_persisted:
+        import shutil
+
+        shutil.rmtree(_ARTIFACT_ROOT, ignore_errors=True)
 
 
 def _bm25_ranked_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint-cached l56 ranking (see _BM25_RANKED_CACHE): cache
-    hits rebuild a session-independent local relation byte-identical
-    to recomputing (l56's per-term ROUND(4) discipline makes the
-    ranking deterministic); no repartition — consumers aggregate the
-    queries × K rows once, they don't iterate over them (contrast
-    _verified_pairs_artifact, whose consumers loop joins)."""
+    """l56's ranked top-K relation, persisted per data fingerprint
+    (same staleness-proof key as the trained IVF index and the
+    verified-pair artifact): a RAG evaluation harness scores the
+    ranking ONCE and writes the run file; every metric pass — this
+    process or any later one — reads the stored run (VERDICT r12
+    item 2). Re-running full BM25 per metric consumer is the
+    artificial thing. The artifact is queries × K rows, the bounded
+    size class l56 already eagerly checkpoints, with a schema sidecar
+    so the read is type-exact; byte-identical to recomputing (l56's
+    per-term ROUND(4) discipline makes the ranking deterministic).
+    No repartition on read — consumers aggregate the rows once, they
+    don't iterate over them (contrast _verified_pairs_artifact, whose
+    consumers loop joins). l56 — the lane whose MEASURED operator is
+    the retrieval itself — always runs the real pipeline and neither
+    reads nor writes the artifact; the first consumer ever (l67) pays
+    the cold compute."""
     key = _ivf_cache_key(sf_dir, 0)
-    cached = _BM25_RANKED_CACHE.get(key)
-    if cached is not None:
-        schema, rows = cached
-        return spark.createDataFrame(rows, schema)
+    path = _artifact_path("bm25_ranked", key)
+    if path and _artifact_exists(path):
+        return _read_artifact(spark, path)
     ranked = l56_bm25_retrieval(spark, sf_dir)
-    _BM25_RANKED_CACHE[key] = (ranked.schema, [tuple(r) for r in ranked.collect()])
+    if path:
+        _write_artifact(ranked, path)
     return ranked
 
 
@@ -6754,8 +6813,9 @@ def l67_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     source map (bounded by the query set), the ideal-DCG spine is a
     K-row broadcast, and the rollup is queries-sized. The corpus cost
     IS l56, served from the per-fingerprint ranked artifact (see
-    _BM25_RANKED_CACHE — an eval harness reads the stored run file,
-    it does not re-run retrieval per metric); the metrics are free."""
+    _bm25_ranked_artifact — an eval harness reads the stored run
+    file, it does not re-run retrieval per metric); the metrics are
+    free."""
     ranked = _bm25_ranked_artifact(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")

@@ -2072,56 +2072,104 @@ def test_ivf_cache_key_fails_closed(spark, tmp_path, monkeypatch):
     assert cent1.tobytes() == cent2.tobytes()  # same data → same result
 
 
-def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir):
+def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir, tmp_path, monkeypatch):
     """The per-fingerprint ranked-retrieval artifact (l67's input) must
-    be byte-identical to a fresh l56 run — same schema, same rows —
-    and l56 itself must neither read nor populate the cache (it is the
-    lane that MEASURES retrieval; only metric consumers serve from the
-    stored run)."""
-    from etl_wlg_metlink_spark.operators.llm_pipeline import (
-        _BM25_RANKED_CACHE,
-        _bm25_ranked_artifact,
-        _ivf_cache_key,
-        l56_bm25_retrieval,
-    )
+    be byte-identical to a fresh l56 run — same schema (including
+    nullability, via the sidecar), same rows — and l56 itself must
+    neither read nor write the store (it is the lane that MEASURES
+    retrieval; only metric consumers serve from the stored run)."""
+    import os
 
-    _BM25_RANKED_CACHE.clear()
-    fresh = l56_bm25_retrieval(spark, sf_dir)
-    assert not _BM25_RANKED_CACHE  # the mining lane never populates
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
 
-    cold = _bm25_ranked_artifact(spark, sf_dir)  # pays + populates
-    assert _ivf_cache_key(sf_dir, 0) in _BM25_RANKED_CACHE
-    warm = _bm25_ranked_artifact(spark, sf_dir)  # serves the rebuild
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    fresh = lp.l56_bm25_retrieval(spark, sf_dir)
+    assert not os.path.exists(lp._ARTIFACT_ROOT)  # mining lane: no write
 
-    assert warm.schema == fresh.schema
+    cold = lp._bm25_ranked_artifact(spark, sf_dir)  # pays + persists
+    path = lp._artifact_path("bm25_ranked", lp._ivf_cache_key(sf_dir, 0))
+    assert lp._artifact_exists(path)
+    warm = lp._bm25_ranked_artifact(spark, sf_dir)  # reads the store
+
+    # sidecar keeps NAMES and TYPES exact; nullability widens to
+    # nullable (parquet scans always read nullable — safe superset)
+    assert [(f.name, f.dataType) for f in warm.schema.fields] == [
+        (f.name, f.dataType) for f in fresh.schema.fields
+    ]
     assert (
         sorted(map(tuple, fresh.collect()))
         == sorted(map(tuple, cold.collect()))
         == sorted(map(tuple, warm.collect()))
     )
     assert fresh.count() > 0
-    _BM25_RANKED_CACHE.clear()
 
 
-def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir):
+def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir, tmp_path, monkeypatch):
     """ADVICE r12: the warm path eagerly checkpoints its rebuild, so
     repeated consumer calls in one session must reuse ONE checkpointed
     DataFrame (same object) instead of accumulating a fresh set of
     checkpointed blocks per call; clear_artifact_caches must drop the
-    memo along with the row caches."""
+    memo, and with remove_persisted=True the on-disk store too."""
+    import os
+
     from etl_wlg_metlink_spark.operators import llm_pipeline as lp
 
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
     lp.clear_artifact_caches()
-    cold = lp._verified_pairs_artifact(spark, sf_dir)  # mines + stores
-    assert lp._VERIFIED_PAIRS_CACHE and not lp._VERIFIED_PAIRS_DF_CACHE
+    cold = lp._verified_pairs_artifact(spark, sf_dir)  # mines + persists
+    assert not lp._VERIFIED_PAIRS_DF_CACHE  # cold serves the live df
     warm1 = lp._verified_pairs_artifact(spark, sf_dir)
     warm2 = lp._verified_pairs_artifact(spark, sf_dir)
-    assert warm1 is warm2  # one rebuild, one checkpoint, memoized
+    assert warm1 is warm2  # one read, one checkpoint, memoized
     assert len(lp._VERIFIED_PAIRS_DF_CACHE) == 1
     assert sorted(map(tuple, warm1.collect())) == sorted(
         map(tuple, cold.collect())
     )
     lp.clear_artifact_caches()
-    assert not lp._VERIFIED_PAIRS_CACHE and not lp._VERIFIED_PAIRS_DF_CACHE
-    assert not lp._IVF_INDEX_CACHE and not lp._BM25_RANKED_CACHE
-    assert not lp._CC_LABELS_CACHE
+    assert not lp._VERIFIED_PAIRS_DF_CACHE and not lp._IVF_INDEX_CACHE
+    assert os.path.exists(lp._ARTIFACT_ROOT)  # store survives soft clear
+    lp.clear_artifact_caches(remove_persisted=True)
+    assert not os.path.exists(lp._ARTIFACT_ROOT)
+
+
+def test_artifacts_serve_fresh_process_from_storage(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r12 item 2's done-criterion: after the in-process
+    caches are cleared (fresh-process simulation), every consumer must
+    serve from the ON-DISK artifact without re-mining — pinned by
+    making the mining stages raise — and the served rows must equal
+    the mined ones. Driver memory holds no row sets; the dicts only
+    memoize DataFrame handles."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    lp.clear_artifact_caches()
+    mined_pairs = sorted(
+        map(tuple, lp._verified_pairs_artifact(spark, sf_dir).collect())
+    )
+    mined_labels = sorted(map(tuple, lp._cc_labels(spark, sf_dir).collect()))
+    mined_ranked = sorted(
+        map(tuple, lp._bm25_ranked_artifact(spark, sf_dir).collect())
+    )
+
+    lp.clear_artifact_caches()  # fresh-process simulation: dicts empty
+
+    def boom(*a, **k):
+        raise AssertionError("re-mined: artifact store was not used")
+
+    monkeypatch.setattr(lp, "_minhash_verified_pairs", boom)
+    monkeypatch.setattr(lp, "_min_label_propagation", boom)
+    monkeypatch.setattr(lp, "l56_bm25_retrieval", boom)
+
+    assert (
+        sorted(map(tuple, lp._verified_pairs_artifact(spark, sf_dir).collect()))
+        == mined_pairs
+    )
+    assert (
+        sorted(map(tuple, lp._cc_labels(spark, sf_dir).collect()))
+        == mined_labels
+    )
+    assert (
+        sorted(map(tuple, lp._bm25_ranked_artifact(spark, sf_dir).collect()))
+        == mined_ranked
+    )
+    lp.clear_artifact_caches()
