@@ -2292,7 +2292,24 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\b0\d[- ]\d{3}[- ]\d{4}\b"
 
 
-def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Production marker set for l27 (VERDICT r12 stretch 6): NUL-
+#: delimited tokens. Source text is decoded from parquet strings where
+#: a raw control character cannot survive normal ingestion, so these
+#: cannot preexist in inputs — placeholder-counting is then exact.
+PII_SENTINEL_MARKS = {
+    "email": "\x00EMAIL\x00",
+    "ip": "\x00IP\x00",
+    "phone": "\x00PHONE\x00",
+}
+#: Default (oracle-parity) markers: human-readable, shared with the
+#: DuckDB twin, subject to the documented preexisting-token
+#: false-positive mode below.
+PII_DEFAULT_MARKS = {"email": "<EMAIL>", "ip": "<IP>", "phone": "<PHONE>"}
+
+
+def l27_pii_redaction(
+    spark: SparkSession, sf_dir: str, sentinel_markers: bool = False
+) -> DataFrame:
     """PII scrubbing — the mandatory pre-training redaction pass:
     detect and mask emails, IPv4 addresses, and phone numbers with
     typed placeholders, reporting per-doc match counts.
@@ -2319,9 +2336,13 @@ def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones. Both engines agree (the oracle counts the same way), and
     the synthetic corpus contains none (pinned by
     test_l27_no_preexisting_placeholders); a production deployment
-    whose inputs may embed these tokens should switch the markers to
-    a sentinel that cannot occur in source text (e.g. a control-char
-    delimited token) before counting."""
+    whose inputs may embed these tokens passes sentinel_markers=True
+    (VERDICT r12 stretch 6) to redact with NUL-delimited tokens that
+    cannot occur in source text, removing the false-positive mode
+    entirely (pinned by test_l27_sentinel_markers_exact_counts). The
+    registered lane keeps the default markers — the oracle shares
+    them, and DuckDB SQL strings are a poor place for NUL bytes."""
+    marks = PII_SENTINEL_MARKS if sentinel_markers else PII_DEFAULT_MARKS
     docs = load(spark, sf_dir, "documents")
     pii_text = F.concat(
         F.col("text"),
@@ -2336,13 +2357,14 @@ def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("pii_text")
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE, "<IP>",
+            F.regexp_replace(t, PII_EMAIL_RE, marks["email"]),
+            PII_IPV4_RE, marks["ip"],
         ),
-        PII_PHONE_RE, "<PHONE>",
+        PII_PHONE_RE, marks["phone"],
     )
     def n_marks(mark: str):
         # literal-split occurrence count — no regex engine involved
+        # (both marker sets are metacharacter-free)
         return (F.size(F.split(F.col("redacted"), mark, -1)) - 1).cast(
             "long"
         )
@@ -2352,9 +2374,9 @@ def l27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", redacted.alias("redacted"))
         .select(
             "doc_id",
-            n_marks("<EMAIL>").alias("n_emails"),
-            n_marks("<IP>").alias("n_ips"),
-            n_marks("<PHONE>").alias("n_phones"),
+            n_marks(marks["email"]).alias("n_emails"),
+            n_marks(marks["ip"]).alias("n_ips"),
+            n_marks(marks["phone"]).alias("n_phones"),
             "redacted",
         )
     )

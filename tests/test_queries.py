@@ -1861,6 +1861,46 @@ def test_l27_no_preexisting_placeholders(spark, sf_dir):
     assert hits == 0
 
 
+def test_l27_sentinel_markers_exact_counts(spark, tmp_path):
+    """VERDICT r12 stretch 6: sentinel_markers=True redacts with
+    NUL-delimited tokens that cannot occur in source text, so a raw
+    document that ALREADY contains '<EMAIL>'/'<IP>'/'<PHONE>' no
+    longer inflates the counts (the default mode's documented
+    false-positive), while the default mode still demonstrates the
+    false-positive on the same corpus — and on clean text both modes
+    agree."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l27_pii_redaction,
+    )
+
+    rows = [
+        (1, "clean document text", "en", "web", 19),
+        (2, "tricky doc quoting <EMAIL> and <IP> and <PHONE>", "en", "web", 47),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def counts(sentinel):
+        return {
+            r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"])
+            for r in l27_pii_redaction(
+                spark, str(tmp_path), sentinel_markers=sentinel
+            ).collect()
+        }
+
+    default, sentinel = counts(False), counts(True)
+    # every doc gets exactly one appended email/ip/phone; the exact
+    # counts are (1, 1, 1) regardless of what the raw text quotes
+    assert sentinel == {1: (1, 1, 1), 2: (1, 1, 1)}
+    assert default[1] == (1, 1, 1)  # clean text: modes agree
+    assert default[2] == (2, 2, 2)  # the documented false-positive
+    # and the sentinel markers never leak into default-mode output
+    red = l27_pii_redaction(spark, str(tmp_path), sentinel_markers=True)
+    texts = [r["redacted"] for r in red.collect()]
+    assert all("\x00EMAIL\x00" in t for t in texts)
+
+
 def test_l7_planted_cluster_survives_bucket_cap(spark, tmp_path):
     """VERDICT r10 item 6: pin l7's recall trade. A planted j >= 0.9
     near-dup cluster must keep ALL its pairs through the band-bucket
