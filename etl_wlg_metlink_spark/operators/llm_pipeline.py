@@ -1255,11 +1255,42 @@ def _ivf_index(emb: DataFrame, cache_key: str | None = None):
     arrays make every downstream assignment plan lazy and are cached
     per (path, N) — in particular the streaming ingest trains ONCE
     outside foreachBatch instead of re-scanning seeds per micro-batch
-    (ADVICE r10)."""
+    (ADVICE r10).
+
+    Train once, serve FOREVER (the FAISS write_index step): the
+    trained matrix is also persisted to the fingerprint-keyed parquet
+    store (same path discipline as the verified-pair / CC-label /
+    ranked-run artifacts — VERDICT r12 item 2), so a fresh PROCESS
+    serves the index from storage instead of re-paying the
+    IVF_TRAIN_ITERS corpus passes. The artifact is nlist×(1+64)
+    doubles — exactly the bounded matrix the driver already holds by
+    design — with a `pos` column so the read restores the EXACT row
+    order training produced (argmax tie-breaks are first-match, so
+    centroid order is part of the index's identity). Doubles
+    round-trip parquet bit-exactly, so a storage hit is
+    byte-identical to retraining (pinned by
+    test_ivf_index_served_from_storage). A non-cacheable fingerprint
+    (the fail-closed OSError sentinel) skips both caches."""
     n = emb.count()
     key = _ivf_cache_key(cache_key, n) if cache_key is not None else None
     if key is not None and key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
+    path = _artifact_path("ivf_index", key) if key is not None else None
+    if path and _artifact_exists(path):
+        rows = sorted(
+            _read_artifact(emb.sparkSession, path).collect(),
+            key=lambda r: r["pos"],
+        )
+        sid = np.fromiter(
+            (r["seed_id"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        cent = np.array([r["cent"] for r in rows], dtype=np.float64)
+        cnorm = np.fromiter(
+            (r["cnorm"] for r in rows), dtype=np.float64, count=len(rows)
+        )
+        out = (sid, cent, cnorm)
+        _IVF_INDEX_CACHE[key] = out
+        return out
     corpus = _ivf_corpus(emb)
     mod = _ivf_mod(n)
     rows = (
@@ -1344,6 +1375,20 @@ def _ivf_index(emb: DataFrame, cache_key: str | None = None):
     out = (sid, cent, cnorm)
     if key is not None:
         _IVF_INDEX_CACHE[key] = out
+    if path:
+        art = emb.sparkSession.createDataFrame(
+            [
+                (
+                    i,
+                    int(sid[i]),
+                    [float(v) for v in cent[i]],
+                    float(cnorm[i]),
+                )
+                for i in range(len(sid))
+            ],
+            "pos int, seed_id long, cent array<double>, cnorm double",
+        )
+        _write_artifact(art, path)
     return out
 
 

@@ -2112,6 +2112,52 @@ def test_ivf_cache_key_fails_closed(spark, tmp_path, monkeypatch):
     assert cent1.tobytes() == cent2.tobytes()  # same data → same result
 
 
+def test_ivf_index_served_from_storage(spark, tmp_path, monkeypatch):
+    """Train once, serve FOREVER (VERDICT r12 item 2 extended to the
+    trained index — the FAISS write_index step): after the in-process
+    caches are cleared (fresh-process simulation) the index must be
+    served byte-identically from the fingerprint-keyed parquet
+    artifact without re-paying the training passes — pinned by making
+    the corpus scan raise. Doubles round-trip parquet bit-exactly, so
+    a storage hit is indistinguishable from retraining."""
+    import numpy as np
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    lp.clear_artifact_caches()
+    path = str(tmp_path / "emb")
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 97) - 48) for d in range(64)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    sid1, cent1, cn1 = lp._ivf_index(
+        spark.read.parquet(path), cache_key=path
+    )
+    art = lp._artifact_path("ivf_index", lp._ivf_cache_key(path, 40))
+    assert lp._artifact_exists(art)
+
+    lp.clear_artifact_caches()  # fresh-process simulation: dicts empty
+
+    def boom(*a, **k):
+        raise AssertionError("retrained: storage artifact was not used")
+
+    monkeypatch.setattr(lp, "_ivf_corpus", boom)
+    sid2, cent2, cn2 = lp._ivf_index(
+        spark.read.parquet(path), cache_key=path
+    )
+    assert sid2.dtype == np.int64 and cent2.dtype == np.float64
+    assert sid1.tobytes() == sid2.tobytes()  # exact row ORDER restored
+    assert cent1.tobytes() == cent2.tobytes()  # bit-exact round-trip
+    assert cn1.tobytes() == cn2.tobytes()
+    sid3, cent3, _ = lp._ivf_index(spark.read.parquet(path), cache_key=path)
+    assert cent3 is cent2  # second call in-process: dict hit
+    lp.clear_artifact_caches()
+
+
 def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir, tmp_path, monkeypatch):
     """The per-fingerprint ranked-retrieval artifact (l67's input) must
     be byte-identical to a fresh l56 run — same schema (including
