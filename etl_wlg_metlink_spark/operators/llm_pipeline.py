@@ -22,7 +22,9 @@ import hashlib
 import json
 import math
 import os
+import shutil
 import tempfile
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -1951,13 +1953,39 @@ def _write_artifact(df: DataFrame, path: str) -> None:
     for every consumer. Sidecar is underscore-prefixed, so parquet
     readers ignore it (like _SUCCESS). Write failures degrade to
     not-persisted (the caller already has the computed DataFrame);
-    they never fail the query."""
+    they never fail the query.
+
+    Publication is ATOMIC (write-temp-then-rename): the parquet +
+    sidecar land in a sibling temp dir, which is os.rename()d to the
+    final path only once complete, so a concurrent reader can never
+    observe a half-written artifact (a direct overwrite DELETES the
+    dir first — a reader that passed _artifact_exists would scan
+    vanishing files) and a crashed writer leaves only an ignorable
+    temp dir, never a corrupt final path. If two miners race, the
+    rename loser discards its copy and the winner's stands — the
+    pipelines are deterministic, so the bytes are interchangeable. A
+    leftover from a CRASHED writer at the final path (dir present but
+    _artifact_exists false) is cleared and the rename retried once.
+    On an object store without atomic dir rename this step becomes a
+    manifest commit (write data keys, then PUT the manifest last) —
+    same publish-last discipline, different primitive."""
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex}"
     try:
-        df.write.mode("overwrite").parquet(path)
-        with open(os.path.join(path, "_schema.json"), "w") as f:
+        df.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_schema.json"), "w") as f:
             f.write(df.schema.json())
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not _artifact_exists(path):
+                # crashed-writer debris, not a completed artifact:
+                # clear it and publish ours
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
+            else:  # concurrent writer won; identical bytes — discard
+                shutil.rmtree(tmp, ignore_errors=True)
     except Exception:  # storage unavailable → serve uncached
-        pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _read_artifact(spark: SparkSession, path: str) -> DataFrame:

@@ -2218,6 +2218,48 @@ def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir, tmp_path, monkey
     assert not os.path.exists(lp._ARTIFACT_ROOT)
 
 
+def test_artifact_write_is_atomic_publish(spark, tmp_path, monkeypatch):
+    """_write_artifact publishes via write-temp-then-rename: a
+    completed artifact at the final path is NEVER clobbered by a
+    racing second writer (loser discards — deterministic pipelines
+    make the bytes interchangeable), crashed-writer debris at the
+    final path (dir without _SUCCESS) is cleared and replaced, and no
+    temp dirs survive any outcome."""
+    import os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    path = lp._artifact_path("race_demo", "k1")
+
+    first = spark.createDataFrame([(1, "winner")], "id long, tag string")
+    lp._write_artifact(first, path)
+    assert lp._artifact_exists(path)
+
+    # racing second writer loses: the completed artifact stands
+    second = spark.createDataFrame([(2, "loser")], "id long, tag string")
+    lp._write_artifact(second, path)
+    assert [tuple(r) for r in lp._read_artifact(spark, path).collect()] == [
+        (1, "winner")
+    ]
+
+    # crashed-writer debris (dir present, no _SUCCESS) is replaced
+    debris = lp._artifact_path("race_demo", "k2")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert not lp._artifact_exists(debris)
+    lp._write_artifact(second, debris)
+    assert lp._artifact_exists(debris)
+    assert [tuple(r) for r in lp._read_artifact(spark, debris).collect()] == [
+        (2, "loser")
+    ]
+
+    # no temp dirs survive in the store
+    kind_dir = os.path.dirname(path)
+    assert not [d for d in os.listdir(kind_dir) if ".tmp-" in d]
+
+
 def test_artifacts_serve_fresh_process_from_storage(spark, sf_dir, tmp_path, monkeypatch):
     """VERDICT r12 item 2's done-criterion: after the in-process
     caches are cleared (fresh-process simulation), every consumer must
