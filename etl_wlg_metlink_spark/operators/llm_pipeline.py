@@ -1279,20 +1279,29 @@ def _ivf_index(emb: DataFrame, cache_key: str | None = None):
         return _IVF_INDEX_CACHE[key]
     path = _artifact_path("ivf_index", key) if key is not None else None
     if path and _artifact_exists(path):
-        rows = sorted(
-            _read_artifact(emb.sparkSession, path).collect(),
-            key=lambda r: r["pos"],
-        )
-        sid = np.fromiter(
-            (r["seed_id"] for r in rows), dtype=np.int64, count=len(rows)
-        )
-        cent = np.array([r["cent"] for r in rows], dtype=np.float64)
-        cnorm = np.fromiter(
-            (r["cnorm"] for r in rows), dtype=np.float64, count=len(rows)
-        )
-        out = (sid, cent, cnorm)
-        _IVF_INDEX_CACHE[key] = out
-        return out
+        # Guarded warm read (ADVICE r13): a corrupt artifact or a
+        # store deleted between the exists check and the collect
+        # (another process's clear_artifact_caches, the debris race)
+        # must degrade to retraining — the same "storage unavailable
+        # → serve uncached" contract the write path keeps — not fail
+        # the query.
+        try:
+            rows = sorted(
+                _read_artifact(emb.sparkSession, path).collect(),
+                key=lambda r: r["pos"],
+            )
+            sid = np.fromiter(
+                (r["seed_id"] for r in rows), dtype=np.int64, count=len(rows)
+            )
+            cent = np.array([r["cent"] for r in rows], dtype=np.float64)
+            cnorm = np.fromiter(
+                (r["cnorm"] for r in rows), dtype=np.float64, count=len(rows)
+            )
+            out = (sid, cent, cnorm)
+            _IVF_INDEX_CACHE[key] = out
+            return out
+        except Exception:
+            pass  # fall through to the training path below
     corpus = _ivf_corpus(emb)
     mod = _ivf_mod(n)
     rows = (
@@ -1918,12 +1927,31 @@ _ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
 )
 
 
+#: Per-kind artifact FORMAT VERSION, folded into the storage digest
+#: (ADVICE r13): the fingerprint key identifies the SOURCE DATA only,
+#: and the store outlives builds — without a version component, a
+#: build that changes an artifact's schema or semantics would serve
+#: an OLD-build artifact under the same data key, and the sidecar
+#: makes the read type-exact to the OLD schema (a KeyError or a
+#: silently wrong reconstruction, not a re-mine). Bump a kind's
+#: version on any schema/semantics change and stale artifacts become
+#: unreachable garbage instead of live hazards. Kinds not listed
+#: (tests, future artifacts) default to 1.
+_ARTIFACT_FORMAT_VERSIONS = {
+    "ivf_index": 1,
+    "verified_pairs": 1,
+    "cc_labels": 1,
+    "bm25_ranked": 1,
+}
+
+
 def _artifact_path(kind: str, key) -> str | None:
-    """Storage path for a derived artifact: <root>/<kind>/<md5(key)>.
-    Returns None when the key is not cacheable — _ivf_cache_key
-    degrades to a unique object() sentinel on fingerprint errors
-    (fail-closed), and persisting under a never-matching key would
-    only accumulate garbage."""
+    """Storage path for a derived artifact:
+    <root>/<kind>/<md5((kind, format_version, key))>. Returns None
+    when the key is not cacheable — _ivf_cache_key degrades to a
+    unique object() sentinel on fingerprint errors (fail-closed), and
+    persisting under a never-matching key would only accumulate
+    garbage."""
 
     def cacheable(k) -> bool:
         if isinstance(k, (str, int, float, bool)) or k is None:
@@ -1934,7 +1962,8 @@ def _artifact_path(kind: str, key) -> str | None:
 
     if not cacheable(key):
         return None
-    digest = hashlib.md5(repr(key).encode("utf-8")).hexdigest()
+    versioned = (kind, _ARTIFACT_FORMAT_VERSIONS.get(kind, 1), key)
+    digest = hashlib.md5(repr(versioned).encode("utf-8")).hexdigest()
     return os.path.join(_ARTIFACT_ROOT, kind, digest)
 
 
@@ -1965,10 +1994,15 @@ def _write_artifact(df: DataFrame, path: str) -> None:
     rename loser discards its copy and the winner's stands — the
     pipelines are deterministic, so the bytes are interchangeable. A
     leftover from a CRASHED writer at the final path (dir present but
-    _artifact_exists false) is cleared and the rename retried once.
-    On an object store without atomic dir rename this step becomes a
-    manifest commit (write data keys, then PUT the manifest last) —
-    same publish-last discipline, different primitive."""
+    _artifact_exists false) is moved ASIDE atomically and the rename
+    retried — the final path is never recursively deleted (ADVICE
+    r13: a racing writer can publish a COMPLETE artifact between the
+    exists check and a delete, and rmtree would destroy its bytes
+    under a reader mid-scan; rename leaves every byte recoverable no
+    matter how the interleaving or a crash lands). On an object store
+    without atomic dir rename this step becomes a manifest commit
+    (write data keys, then PUT the manifest last) — same publish-last
+    discipline, different primitive."""
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex}"
     try:
         df.write.mode("overwrite").parquet(tmp)
@@ -1977,22 +2011,57 @@ def _write_artifact(df: DataFrame, path: str) -> None:
         try:
             os.rename(tmp, path)
         except OSError:
-            if not _artifact_exists(path):
-                # crashed-writer debris, not a completed artifact:
-                # clear it and publish ours
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)
-            else:  # concurrent writer won; identical bytes — discard
+            if _artifact_exists(path):
+                # concurrent writer won; identical bytes — discard
                 shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # Crashed-writer debris at the final path: move it
+                # aside atomically, never rmtree it in place — if the
+                # exists check above raced a concurrent COMPLETE
+                # publish, the debris IS that artifact and a delete
+                # would destroy the only copy.
+                debris = f"{path}.debris-{os.getpid()}-{uuid.uuid4().hex}"
+                try:
+                    os.rename(path, debris)
+                except OSError:
+                    debris = None  # a sibling writer moved it first
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # a complete artifact was published concurrently
+                    # in the gap; ours is an identical copy — discard
+                    shutil.rmtree(tmp, ignore_errors=True)
+                # Drop the moved-aside debris only once a complete
+                # artifact stands at the final path. If none does
+                # (the retry failed), the debris may be the racing
+                # writer's complete copy — leave it recoverable.
+                if debris and _artifact_exists(path):
+                    shutil.rmtree(debris, ignore_errors=True)
     except Exception:  # storage unavailable → serve uncached
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Read a published artifact with its type-exact sidecar schema.
+    Raises (rather than degrading) on ANY inconsistency — a missing
+    or corrupt sidecar, a vanished path, or a dir with zero parquet
+    part files. The last case matters: Spark's scanner happily
+    returns an EMPTY DataFrame over a dir holding only _SUCCESS and
+    the sidecar (e.g. a store gutted mid-delete by another process's
+    clear_artifact_caches(remove_persisted=True)), which would be a
+    silently wrong answer, not an error. A complete artifact always
+    has ≥1 part file — Spark writes one even for a 0-row DataFrame —
+    so requiring it here turns that corruption into an exception the
+    consumers catch and fall through to recompute (ADVICE r13)."""
     from pyspark.sql.types import StructType
 
     with open(os.path.join(path, "_schema.json")) as f:
         schema = StructType.fromJson(json.load(f))
+    if not any(
+        name.endswith(".parquet") and not name.startswith((".", "_"))
+        for name in os.listdir(path)
+    ):
+        raise FileNotFoundError(f"artifact at {path} has no data files")
     return spark.read.schema(schema).parquet(path)
 
 
@@ -2039,13 +2108,17 @@ def _verified_pairs_artifact(
         return memo
     path = _artifact_path("verified_pairs", key)
     if path and _artifact_exists(path):
-        df = (
-            _read_artifact(spark, path)
-            .repartition(spark.sparkContext.defaultParallelism)
-            .localCheckpoint(eager=True)
-        )
-        _VERIFIED_PAIRS_DF_CACHE[df_key] = df
-        return df
+        # guarded read (ADVICE r13): corrupt/vanished store → re-mine
+        try:
+            df = (
+                _read_artifact(spark, path)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .localCheckpoint(eager=True)
+            )
+            _VERIFIED_PAIRS_DF_CACHE[df_key] = df
+            return df
+        except Exception:
+            pass
     pairs = _minhash_verified_pairs(spark, sf_dir, threshold)
     if path:
         _write_artifact(pairs, path)
@@ -2074,7 +2147,12 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _ivf_cache_key(sf_dir, 0)
     path = _artifact_path("cc_labels", key)
     if path and _artifact_exists(path):
-        return _read_artifact(spark, path)
+        # guarded read (ADVICE r13): the sidecar parse and the file
+        # listing resolve eagerly here; failure → re-propagate below
+        try:
+            return _read_artifact(spark, path)
+        except Exception:
+            pass
     # the pair set arrives eagerly checkpointed with the upstream
     # diamond cache released. Near-dup graphs are tiny
     # relative to the corpus (pairs only where jaccard >= 0.8); the
@@ -3645,7 +3723,11 @@ def _bm25_ranked_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _ivf_cache_key(sf_dir, 0)
     path = _artifact_path("bm25_ranked", key)
     if path and _artifact_exists(path):
-        return _read_artifact(spark, path)
+        # guarded read (ADVICE r13): corrupt/vanished store → re-rank
+        try:
+            return _read_artifact(spark, path)
+        except Exception:
+            pass
     ranked = l56_bm25_retrieval(spark, sf_dir)
     if path:
         _write_artifact(ranked, path)

@@ -2255,9 +2255,149 @@ def test_artifact_write_is_atomic_publish(spark, tmp_path, monkeypatch):
         (2, "loser")
     ]
 
-    # no temp dirs survive in the store
+    # no temp or debris dirs survive in the store
     kind_dir = os.path.dirname(path)
-    assert not [d for d in os.listdir(kind_dir) if ".tmp-" in d]
+    assert not [
+        d for d in os.listdir(kind_dir) if ".tmp-" in d or ".debris-" in d
+    ]
+
+
+def test_artifact_debris_race_never_destroys_complete_copy(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (medium): the crashed-debris fallback must move the
+    final path ASIDE, never rmtree it — if a racing writer publishes a
+    COMPLETE artifact between the exists check and the cleanup, and
+    the cleaning writer then crashes before its own rename, the
+    complete copy must still exist somewhere recoverable. Simulated by
+    a stale exists check (returns False though a complete artifact
+    stands) plus renames to the final path that always fail (the crash
+    window); with the old rmtree fallback the complete artifact's
+    bytes would be gone entirely."""
+    import os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    path = lp._artifact_path("race_demo", "k3")
+    complete = spark.createDataFrame([(7, "keep")], "id long, tag string")
+    lp._write_artifact(complete, path)
+    assert lp._artifact_exists(path)
+
+    real_exists = lp._artifact_exists
+    state = {"stale": True}
+
+    def stale_exists(p):
+        if state["stale"] and p == path:
+            state["stale"] = False  # one stale read, then truth
+            return False
+        return real_exists(p)
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if dst == path:
+            raise OSError("simulated crash window")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(lp, "_artifact_exists", stale_exists)
+    monkeypatch.setattr(lp.os, "rename", crashing_rename)
+    second = spark.createDataFrame([(7, "keep")], "id long, tag string")
+    lp._write_artifact(second, path)  # must not raise, must not destroy
+    monkeypatch.undo()
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+
+    # the complete artifact's bytes survive — at the final path or at
+    # a moved-aside debris sibling (recoverable), never deleted
+    kind_dir = os.path.dirname(path)
+    survivors = [
+        os.path.join(kind_dir, d)
+        for d in os.listdir(kind_dir)
+        if lp._artifact_exists(os.path.join(kind_dir, d))
+    ]
+    assert survivors, "complete artifact was destroyed by the fallback"
+    rows = [
+        tuple(r) for r in lp._read_artifact(spark, survivors[0]).collect()
+    ]
+    assert rows == [(7, "keep")]
+
+
+def test_artifact_read_failure_falls_through_to_compute(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r13 (low): every warm consumer read is guarded — a
+    corrupt sidecar or a gutted store (part files deleted, _SUCCESS
+    kept: Spark would scan that as a silently EMPTY DataFrame) must
+    degrade to recomputing the artifact, matching the write path's
+    'storage unavailable → serve uncached' contract, never fail the
+    query or serve empty rows."""
+    import os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    lp.clear_artifact_caches()
+
+    # bm25 consumer vs corrupt sidecar
+    fresh = sorted(map(tuple, lp.l56_bm25_retrieval(spark, sf_dir).collect()))
+    lp._bm25_ranked_artifact(spark, sf_dir)  # cold: persists
+    bpath = lp._artifact_path("bm25_ranked", lp._ivf_cache_key(sf_dir, 0))
+    with open(os.path.join(bpath, "_schema.json"), "w") as f:
+        f.write("{not json")
+    assert lp._artifact_exists(bpath)  # exists check still passes
+    got = sorted(map(tuple, lp._bm25_ranked_artifact(spark, sf_dir).collect()))
+    assert got == fresh and len(got) > 0
+
+    # verified-pairs consumer vs gutted store (zero part files)
+    mined = sorted(
+        map(tuple, lp._verified_pairs_artifact(spark, sf_dir).collect())
+    )
+    lp.clear_artifact_caches()  # drop the DataFrame memo, keep the store
+    vpath = lp._artifact_path(
+        "verified_pairs", (lp._ivf_cache_key(sf_dir, 0), 0.8)
+    )
+    for name in os.listdir(vpath):
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            os.unlink(os.path.join(vpath, name))
+    assert lp._artifact_exists(vpath)
+    got = sorted(
+        map(tuple, lp._verified_pairs_artifact(spark, sf_dir).collect())
+    )
+    assert got == mined and len(got) > 0
+    lp.clear_artifact_caches()
+
+
+def test_artifact_key_includes_format_version(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (low): the storage digest folds in a per-kind format
+    version, so a build that changes an artifact's schema/semantics
+    (version bump) can never be served an old-build artifact under the
+    same data fingerprint — the old path simply stops resolving and
+    the consumer re-mines."""
+    import os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    p_v1 = lp._artifact_path("ivf_index", ("fp", 40))
+    monkeypatch.setitem(lp._ARTIFACT_FORMAT_VERSIONS, "ivf_index", 2)
+    p_v2 = lp._artifact_path("ivf_index", ("fp", 40))
+    assert p_v1 != p_v2  # version is part of the identity
+    assert os.path.dirname(p_v1) == os.path.dirname(p_v2)  # same kind dir
+
+    # kinds are part of the digest too: same key, different kind,
+    # never the same leaf digest (defense against cross-kind aliasing)
+    q = lp._artifact_path("cc_labels", ("fp", 40))
+    assert os.path.basename(q) != os.path.basename(lp._artifact_path("ivf_index", ("fp", 40)))
+
+    # end-to-end: an artifact published under v1 is invisible after a
+    # bump — the old copy stays as unreachable garbage, nothing serves
+    monkeypatch.setitem(lp._ARTIFACT_FORMAT_VERSIONS, "ivf_index", 1)
+    art = spark.createDataFrame([(0, 1, [0.0], 1.0)],
+                                "pos int, seed_id long, cent array<double>, cnorm double")
+    lp._write_artifact(art, lp._artifact_path("ivf_index", ("fp", 40)))
+    assert lp._artifact_exists(lp._artifact_path("ivf_index", ("fp", 40)))
+    monkeypatch.setitem(lp._ARTIFACT_FORMAT_VERSIONS, "ivf_index", 2)
+    assert not lp._artifact_exists(lp._artifact_path("ivf_index", ("fp", 40)))
 
 
 def test_artifacts_serve_fresh_process_from_storage(spark, sf_dir, tmp_path, monkeypatch):
