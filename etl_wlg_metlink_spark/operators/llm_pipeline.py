@@ -8121,3 +8121,351 @@ ORACLE["l73_image_phash_neardup"] = f"""
     JOIN bytes y ON y.doc_id = doc_j
     WHERE {_L73_HAMMING} <= {L73_HAMMING_MAX}
 """
+
+
+# --------------------------------------------------------------------------
+# l74: maximal duplicated-span merge (ExactSubstr's second half)
+# --------------------------------------------------------------------------
+
+def l74_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-SPAN extraction — the half of Lee et al.
+    2021's ExactSubstr dedup that l43 stops short of. l43 reports the
+    per-doc duplicated-window SHARE (an audit number); a span-removal
+    pipeline needs the actual (start, end) token intervals to cut, so
+    this lane merges overlapping/adjacent duplicated L43_W-token
+    windows into MAXIMAL spans per document and reports the per-doc
+    span inventory: how many distinct duplicated regions, how many
+    tokens they cover, and the longest one. Two docs sharing one long
+    passage produce ONE wide span here, not a count of ~passage_len
+    windows — which is why window-share alone cannot drive removal.
+
+    Spark-first shape: window fingerprints explode map-side (same
+    lineage cost as every shingle lane); fp -> distinct-doc count is
+    one hash-agg shuffle with map-side partials; the dup-mark rejoin
+    is fp-keyed; the islands-and-gaps merge is a per-document window
+    function (lag + running sum over pos) — partitioned by doc_id, so
+    no global sort, and each partition's state is bounded by ONE
+    document's window count. No suffix array, nothing driver-side;
+    at 100 TB the only global data movement is the fp hash-agg the
+    plain l43 audit already pays.
+
+    Merge rule: windows at positions p < q cover tokens [p, p+W-1] /
+    [q, q+W-1]; they fuse when q <= p + W (overlapping OR abutting
+    coverage), so a span is a maximal run of duplicated tokens."""
+    spans = _dup_span_rows(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("e") - F.col("s") + 1).cast("long").alias("span_tokens"),
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span"),
+        F.round(F.sum("span_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_token_share"
+        ),
+    ).drop("n_tokens").select(
+        "doc_id", "n_spans", "dup_tokens", "max_span", "dup_token_share"
+    )
+
+
+def _dup_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, s, e) maximal duplicated-span intervals over
+    the documents table — l74's islands-and-gaps merge, shared with
+    l76's surgical span-cut rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(1), F.size(ws) - (L43_W - 1))
+    shingle = _shingle_fn(ws, L43_W)
+    wins = (
+        base.where(F.size(ws) >= L43_W)
+        .select(
+            "doc_id",
+            F.size(ws).alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        _md5_int60(shingle(i)).alias("fp"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "n_tokens", "w.pos", "w.fp")
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    dup_wins = wins.join(dup_fps, "fp").select("doc_id", "n_tokens", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_wins.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + L43_W),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "n_tokens", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(L43_W - 1)).cast("long").alias("e"),
+        )
+        .select("doc_id", "n_tokens", "s", "e")
+    )
+
+
+QUERIES["l74_dup_span_merge"] = l74_dup_span_merge
+
+ORACLE["l74_dup_span_merge"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(ws) AS n_tokens, ws,
+             unnest(range(1, len(ws) - {L43_W - 2})) AS i
+      FROM toks WHERE len(ws) >= {L43_W}
+    ),
+    wins AS (
+      SELECT doc_id, n_tokens, i AS pos,
+             {_duck_md5_int60(_L43_WIN_SQL)} AS fp
+      FROM pos
+    ),
+    fpd AS (
+      SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT w.doc_id, w.n_tokens, w.pos FROM wins w JOIN fpd USING (fp)
+    ),
+    flagged AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + {L43_W}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dup
+    ),
+    numbered AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             MAX(pos) + {L43_W - 1} - MIN(pos) + 1 AS span_tokens
+      FROM numbered GROUP BY doc_id, n_tokens, span_id
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span,
+           ROUND(SUM(span_tokens)::DOUBLE / n_tokens, 4)
+             AS dup_token_share
+    FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+# --------------------------------------------------------------------------
+# l75: duplication-aware sampling weights (SoftDeDup)
+# --------------------------------------------------------------------------
+
+#: fixed-point denominator for the per-doc weight 1/cluster_size —
+#: int64 sums are reduce-order-independent (the IVF reduce's idiom),
+#: so the cross-engine hash never rides on double-sum associativity.
+L75_W_FP = 1_000_000
+
+
+def l75_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights — the SOFT alternative to
+    l29's hard keep/drop manifest (SoftDeDup: down-WEIGHT duplicated
+    documents instead of deleting them, so near-dup content is seen
+    ~once per epoch in expectation without discarding unique tokens a
+    hard cut loses). Each document weighs 1/|its near-dup cluster|
+    (singletons weigh 1), and the per-source rollup reports the
+    EFFECTIVE corpus size those weights imply next to the raw count —
+    the number a data-mixture plan budgets against — plus the
+    inflation ratio raw/effective that tells a curator how duplicated
+    each source is.
+
+    Cluster labels come from the shared `_cc_labels` lineage (the
+    fingerprint-keyed dedup-manifest artifact l22/l29/l42/l69 serve
+    from), so this lane is a pure CONSUMER: one broadcast join of the
+    bounded label relation against the corpus and one hash-agg — no
+    re-mining. Weights are summed as int64 fixed-point
+    (round(1e6/csize)) so the total is exact and reduce-order
+    independent at any scale; the final divide happens once on the
+    summed integer."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "lbl"
+    )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("csize"))
+    lbl_size = labels.join(F.broadcast(sizes), "lbl").select(
+        "doc_id", "csize"
+    )
+    j = docs.join(F.broadcast(lbl_size), "doc_id", "left")
+    w_fp = F.when(
+        F.col("csize").isNull(), F.lit(L75_W_FP).cast("long")
+    ).otherwise(
+        F.round(F.lit(float(L75_W_FP)) / F.col("csize")).cast("long")
+    )
+    return j.select("source", "csize", w_fp.alias("w_fp")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("csize").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clustered"),
+        F.round(F.sum("w_fp") / F.lit(float(L75_W_FP)), 4).alias(
+            "effective_docs"
+        ),
+        F.round(
+            F.count("*") * F.lit(float(L75_W_FP)) / F.sum("w_fp"), 4
+        ).alias("dup_inflation"),
+    )
+
+
+QUERIES["l75_softdedup_weights"] = l75_softdedup_weights
+
+ORACLE["l75_softdedup_weights"] = _L29_CTE_PREFIX + f"""
+        , csize AS (
+          SELECT lbl, COUNT(*) AS csize
+          FROM l{L22_ORACLE_ROUNDS} GROUP BY lbl
+        ),
+        wdocs AS (
+          SELECT d.doc_id, d.source, c.csize,
+                 CASE WHEN c.csize IS NULL THEN {L75_W_FP}
+                      ELSE CAST(ROUND({L75_W_FP}.0 / c.csize) AS BIGINT)
+                 END AS w_fp
+          FROM documents d
+          LEFT JOIN l{L22_ORACLE_ROUNDS} l ON l.node = d.doc_id
+          LEFT JOIN csize c ON c.lbl = l.lbl
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN csize IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clustered,
+               ROUND(SUM(w_fp) / {L75_W_FP}.0, 4) AS effective_docs,
+               ROUND(COUNT(*) * {L75_W_FP}.0 / SUM(w_fp), 4)
+                 AS dup_inflation
+        FROM wdocs GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# l76: surgical span-cut corpus rebuild (ExactSubstr removal applied)
+# --------------------------------------------------------------------------
+
+def l76_span_cut_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY l74's maximal duplicated spans: rebuild every document
+    with its duplicated-span tokens cut out — the actual ExactSubstr
+    removal step (Lee et al. 2021 delete the duplicated spans and keep
+    the unique remainder, rather than dropping whole documents). Per
+    document: token counts before/after the cut and a fingerprint of
+    the REBUILT text, so the output is a verifiable transform manifest
+    (two engines agreeing on the fingerprint proves byte-identical
+    surgery), not just an audit count.
+
+    Spark-first shape: span intervals come from the shared
+    `_dup_span_rows` lineage (one fp hash-agg + per-doc window merge —
+    l74's cost); per-doc intervals collapse to ONE array row
+    (collect_list bounded by a single document's span count), then
+    join back to the corpus on doc_id — a co-partitioned key join,
+    never a broadcast dependency on corpus size. The cut itself is
+    pure higher-order-function territory (filter/transform/concat_ws
+    over the token array), whole-stage-codegen'd JVM work with no
+    Python in the loop. Docs with no duplicated span (including docs
+    shorter than one window) pass through uncut with kept == before,
+    so the output is a total manifest over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    span_arrays = (
+        _dup_span_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    base = docs.select(
+        "doc_id", "source", _words(F.col("text")).alias("ws")
+    ).join(span_arrays, "doc_id", "left")
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept_pos = F.filter(
+        F.sequence(F.lit(1).cast("long"), F.size("ws").cast("long")),
+        lambda i: F.size(
+            F.filter(spans, lambda sp: (i >= sp["s"]) & (i <= sp["e"]))
+        )
+        == 0,
+    )
+    rebuilt = F.concat_ws(
+        " ", F.transform(kept_pos, lambda i: F.element_at("ws", i.cast("int")))
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(kept_pos).cast("long").alias("kept_tokens"),
+        (F.size("ws") - F.size(kept_pos)).cast("long").alias("cut_tokens"),
+        _md5_int60(rebuilt).alias("rebuilt_fp"),
+    )
+
+
+QUERIES["l76_span_cut_rebuild"] = l76_span_cut_rebuild
+
+#: l74's span CTEs, reused verbatim by l76's oracle
+_L74_SPAN_CTES = ORACLE["l74_dup_span_merge"].split("\n    SELECT doc_id,", 1)[
+    0
+].replace(
+    """spans AS (
+      SELECT doc_id, n_tokens,
+             MAX(pos) + {W} - MIN(pos) + 1 AS span_tokens
+      FROM numbered GROUP BY doc_id, n_tokens, span_id
+    )""".format(W=L43_W - 1),
+    """spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {W} AS e
+      FROM numbered GROUP BY doc_id, span_id
+    )""".format(W=L43_W - 1),
+)
+
+ORACLE["l76_span_cut_rebuild"] = _L74_SPAN_CTES + f"""
+    , span_arrays AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM spans GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id, d.source, string_split(d.text, ' ') AS ws,
+             COALESCE(a.spans, []) AS spans
+      FROM documents d LEFT JOIN span_arrays a USING (doc_id)
+    ),
+    cut AS (
+      SELECT doc_id, source, ws,
+             list_filter(range(1, len(ws) + 1),
+               i -> len(list_filter(spans,
+                          sp -> i >= sp.s AND i <= sp.e)) = 0) AS kept
+      FROM joined
+    )
+    SELECT doc_id, source,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS cut_tokens,
+           {_duck_md5_int60(
+               "COALESCE(array_to_string("
+               "list_transform(kept, i -> ws[i]), ' '), '')"
+           )} AS rebuilt_fp
+    FROM cut
+"""

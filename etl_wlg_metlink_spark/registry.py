@@ -209,6 +209,10 @@ _ORDER = (
     "r37_returned_item_reporting",
     "l73_image_phash_neardup",
     "s13_streaming_ann_ingest",
+    # round 14 tail
+    "l74_dup_span_merge",
+    "l75_softdedup_weights",
+    "l76_span_cut_rebuild",
 )
 
 

@@ -2441,3 +2441,154 @@ def test_artifacts_serve_fresh_process_from_storage(spark, sf_dir, tmp_path, mon
         == mined_ranked
     )
     lp.clear_artifact_caches()
+
+
+def test_l74_merges_windows_into_maximal_spans(spark, tmp_path):
+    """Two planted shared passages must come back as exactly two
+    maximal spans per carrier doc — one wide span per passage, not one
+    row per duplicated window — with exact token arithmetic."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L43_W,
+        l74_dup_span_merge,
+    )
+
+    W = L43_W
+    span_a = " ".join(f"sa{i}" for i in range(W + 4))  # W+4 tokens, 5 windows
+    span_b = " ".join(f"sb{i}" for i in range(W))  # W tokens, 1 window
+    rows = [
+        (1, span_a + " u1a u1b u1c u1d u1e " + span_b + " u1f u1g", "en", "web", 0),
+        (2, "u2a u2b " + span_b + " u2c u2d u2e u2f u2g " + span_a, "en", "web", 0),
+        (3, " ".join(f"solo{i}" for i in range(W + 6)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in l74_dup_span_merge(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no duplicated window
+    for doc_id, n_tokens in ((1, (W + 4) + 5 + W + 2), (2, 2 + W + 5 + (W + 4))):
+        r = got[doc_id]
+        assert r["n_spans"] == 2
+        assert r["dup_tokens"] == (W + 4) + W
+        assert r["max_span"] == W + 4
+        assert r["dup_token_share"] == round(((W + 4) + W) / n_tokens, 4)
+
+
+def test_l74_abutting_coverage_merges_one_token_gap_splits(spark, tmp_path):
+    """The merge rule's boundary: two duplicated windows whose COVERAGE
+    abuts (positions p and p+W) fuse into one span even though the
+    mixture windows between them are unique; a single non-duplicated
+    token between the passages keeps them as two spans."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L43_W,
+        l74_dup_span_merge,
+    )
+
+    W = L43_W
+    x = " ".join(f"x{i}" for i in range(W))
+    y = " ".join(f"y{i}" for i in range(W))
+    filler = " ".join(f"f{i}" for i in range(W))
+    rows = [
+        (1, x + " " + y, "en", "web", 0),  # X abuts Y: one fused span
+        (2, y + " " + filler + " " + x, "en", "web", 0),  # separated: two
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in l74_dup_span_merge(spark, str(tmp_path)).collect()}
+    fused = got[1]
+    assert fused["n_spans"] == 1
+    assert fused["dup_tokens"] == 2 * W and fused["max_span"] == 2 * W
+    assert fused["dup_token_share"] == 1.0
+    split = got[2]
+    assert split["n_spans"] == 2
+    assert split["dup_tokens"] == 2 * W and split["max_span"] == W
+
+
+def test_l75_weights_consistent_with_cluster_labels(spark, sf_dir):
+    """l75's per-source rollup must agree with the shared _cc_labels
+    lineage recomputed independently driver-side: same clustered-doc
+    counts and the exact fixed-point effective sizes (half-up rounding,
+    matching both engines)."""
+    import math
+    from collections import Counter
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L75_W_FP,
+        _cc_labels,
+        l75_softdedup_weights,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    labels = {r["node"]: r["lbl"] for r in _cc_labels(spark, sf_dir).collect()}
+    csize = Counter(labels.values())
+    exp: dict = {}
+    for r in load(spark, sf_dir, "documents").select("doc_id", "source").collect():
+        d = exp.setdefault(r["source"], [0, 0, 0])
+        d[0] += 1
+        if r["doc_id"] in labels:
+            d[1] += 1
+            d[2] += math.floor(L75_W_FP / csize[labels[r["doc_id"]]] + 0.5)
+        else:
+            d[2] += L75_W_FP
+
+    got = {r["source"]: r for r in l75_softdedup_weights(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    some_clustered = False
+    for src, (n_docs, n_clustered, w_fp) in exp.items():
+        r = got[src]
+        assert r["n_docs"] == n_docs
+        assert r["n_clustered"] == n_clustered
+        assert r["effective_docs"] == round(w_fp / L75_W_FP, 4)
+        assert r["dup_inflation"] == round(n_docs * L75_W_FP / w_fp, 4)
+        assert r["effective_docs"] <= n_docs
+        some_clustered = some_clustered or n_clustered > 0
+    assert some_clustered, "fixture corpus has near-dup clusters; none seen"
+
+
+def test_l76_rebuilds_exact_remainder_text(spark, tmp_path):
+    """The span-cut rebuild must produce byte-exact remainder text:
+    planted carriers keep exactly their unique tokens (fingerprint
+    pinned via hashlib), an undamaged doc passes through uncut, and a
+    doc duplicated in full rebuilds to the empty string."""
+    import hashlib
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L43_W,
+        l76_span_cut_rebuild,
+    )
+
+    def fp(text: str) -> int:
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    W = L43_W
+    span_a = " ".join(f"sa{i}" for i in range(W + 4))
+    span_b = " ".join(f"sb{i}" for i in range(W))
+    clone = " ".join(f"cl{i}" for i in range(W + 3))
+    solo = " ".join(f"solo{i}" for i in range(W + 6))
+    rows = [
+        (1, span_a + " u1a u1b u1c u1d u1e " + span_b + " u1f u1g", "en", "web", 0),
+        (2, "u2a u2b " + span_b + " u2c u2d u2e u2f u2g " + span_a, "en", "web", 0),
+        (3, solo, "en", "web", 0),
+        (4, clone, "en", "web", 0),
+        (5, clone, "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in l76_span_cut_rebuild(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # total manifest, uncut docs included
+    r1 = got[1]
+    assert (r1["kept_tokens"], r1["cut_tokens"]) == (7, (W + 4) + W)
+    assert r1["rebuilt_fp"] == fp("u1a u1b u1c u1d u1e u1f u1g")
+    r2 = got[2]
+    assert (r2["kept_tokens"], r2["cut_tokens"]) == (7, (W + 4) + W)
+    assert r2["rebuilt_fp"] == fp("u2a u2b u2c u2d u2e u2f u2g")
+    r3 = got[3]
+    assert r3["cut_tokens"] == 0 and r3["kept_tokens"] == r3["n_tokens"]
+    assert r3["rebuilt_fp"] == fp(solo)
+    for d in (4, 5):  # whole-doc duplicates rebuild to the empty string
+        assert got[d]["kept_tokens"] == 0
+        assert got[d]["rebuilt_fp"] == fp("")
