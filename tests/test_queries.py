@@ -2592,3 +2592,22 @@ def test_l76_rebuilds_exact_remainder_text(spark, tmp_path):
     for d in (4, 5):  # whole-doc duplicates rebuild to the empty string
         assert got[d]["kept_tokens"] == 0
         assert got[d]["rebuilt_fp"] == fp("")
+
+
+def test_l74_l76_span_inventory_explains_cuts(spark, sf_dir):
+    """Cross-lane invariant on the shared span lineage: l76's per-doc
+    cut must equal l74's duplicated-token total for every spanned doc,
+    vanish for unspanned docs, and kept + cut must tile each doc."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l74_dup_span_merge,
+        l76_span_cut_rebuild,
+    )
+
+    spans = {r["doc_id"]: r for r in l74_dup_span_merge(spark, sf_dir).collect()}
+    cuts = {r["doc_id"]: r for r in l76_span_cut_rebuild(spark, sf_dir).collect()}
+    assert set(spans) <= set(cuts)  # l76 is the total manifest
+    assert spans, "fixture corpus plants duplicated spans; none found"
+    for doc_id, c in cuts.items():
+        assert c["kept_tokens"] + c["cut_tokens"] == c["n_tokens"]
+        expected = spans[doc_id]["dup_tokens"] if doc_id in spans else 0
+        assert c["cut_tokens"] == expected
