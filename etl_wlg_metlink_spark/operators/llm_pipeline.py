@@ -8469,3 +8469,123 @@ ORACLE["l76_span_cut_rebuild"] = _L74_SPAN_CTES + f"""
            )} AS rebuilt_fp
     FROM cut
 """
+
+
+# --------------------------------------------------------------------------
+# l77: curriculum ordering (scale-safe global total order)
+# --------------------------------------------------------------------------
+
+#: range buckets for the distributed global rank — at scale set to the
+#: cluster's parallelism; results are bucket-count invariant (the
+#: bucketing only sets window parallelism, never the order).
+L77_BUCKETS = 32
+
+
+def l77_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — a GLOBAL total order of the corpus by
+    quality (easy/high-quality first), the schedule curriculum-training
+    pipelines feed from, plus the early/mid/late phase each document
+    lands in. The interesting part is HOW a global row_number is
+    computed at scale: `row_number() OVER (ORDER BY ...)` with no
+    partition key collapses the entire corpus into ONE task (Spark
+    warns and single-threads it — a 100 TB non-starter), so this lane
+    builds the same total order the TeraSort way, entirely with
+    bounded-size coordination state:
+
+      1. one agg computes exact score quantile boundaries (B-1
+         doubles) and the corpus count — a single reduce whose output
+         is O(B), broadcast back;
+      2. each doc gets a range-bucket map-side (count of boundaries
+         above its score — order-consistent by construction: higher
+         score => never a later bucket, equal scores => same bucket);
+      3. per-bucket counts (≤ B rows) turn into exclusive prefix
+         offsets with a window over the TINY bucket relation;
+      4. row_number runs per-bucket (B-way parallel window after one
+         shuffle on bucket), and global_rank = bucket offset + local
+         rank — identical to the single-window answer (ties fully
+         broken by doc_id), proven by the oracle's plain
+         `row_number() OVER (ORDER BY quality_score DESC, doc_id)`.
+
+    Phase assignment is integer arithmetic on (rank, N) — exact in
+    both engines, no float boundary risk."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(_quality_score_raw(_words(F.col("text"))), 4).alias(
+            "quality_score"
+        ),
+    )
+    bnds = scored.agg(
+        F.percentile(
+            "quality_score", [k / L77_BUCKETS for k in range(1, L77_BUCKETS)]
+        ).alias("bnds"),
+        F.count("*").alias("n"),
+    )
+    # B=1 => no boundaries: percentile([]) is NULL, which would turn
+    # into a null bucket key and silently drop every row in the
+    # offsets equijoin — degrade to one bucket instead
+    safe_bnds = F.coalesce(F.col("bnds"), F.array().cast("array<double>"))
+    with_b = scored.crossJoin(F.broadcast(bnds)).withColumn(
+        "bucket",
+        F.size(F.filter(safe_bnds, lambda x: x > F.col("quality_score"))),
+    )
+    counts = with_b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # exclusive prefix sum over <= L77_BUCKETS rows: the one
+    # single-partition window here runs on the bucket RELATION (size
+    # bounded by the bucket constant, never by the corpus)
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        with_b.withColumn("lrank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.col("off") + F.col("lrank")).cast("long").alias("rank"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            "quality_score",
+            "rank",
+            F.element_at(
+                F.array(F.lit("early"), F.lit("mid"), F.lit("late")),
+                (F.expr("(rank - 1) * 3 div n") + 1).cast("int"),
+            ).alias("phase"),
+        )
+    )
+
+
+QUERIES["l77_curriculum_order"] = l77_curriculum_order
+
+ORACLE["l77_curriculum_order"] = f"""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(0.35 * (len(list_distinct(ws))::DOUBLE / len(ws))
+                   + 0.25 * (1 - len(list_filter(ws, w -> w IN
+                       ({_STOP_SQL})))::DOUBLE / len(ws))
+                   + 0.4 * least(len(ws) / 60.0, 1.0), 4)
+               AS quality_score
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    r AS (
+      SELECT doc_id, quality_score,
+             row_number() OVER (ORDER BY quality_score DESC, doc_id)
+               AS rank
+      FROM q
+    )
+    SELECT doc_id, quality_score,
+           CAST(rank AS BIGINT) AS rank,
+           ['early', 'mid', 'late'][CAST((rank - 1) * 3 // n AS INT) + 1]
+             AS phase
+    FROM r, nn
+"""

@@ -213,6 +213,7 @@ _ORDER = (
     "l74_dup_span_merge",
     "l75_softdedup_weights",
     "l76_span_cut_rebuild",
+    "l77_curriculum_order",
 )
 
 

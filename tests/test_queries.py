@@ -2611,3 +2611,38 @@ def test_l74_l76_span_inventory_explains_cuts(spark, sf_dir):
         assert c["kept_tokens"] + c["cut_tokens"] == c["n_tokens"]
         expected = spans[doc_id]["dup_tokens"] if doc_id in spans else 0
         assert c["cut_tokens"] == expected
+
+
+def test_l77_global_rank_matches_total_order_any_bucket_count(
+    spark, tmp_path, monkeypatch
+):
+    """The distributed bucket+offset rank must equal the plain total
+    order (score DESC, doc_id) computed driver-side, for ANY bucket
+    count — bucketing sets parallelism, never the order — and ranks
+    must be exactly 1..N with thirds-phases."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9)),
+         "en", "web", 0)
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    results = {}
+    for b in (1, 4, 32):
+        monkeypatch.setattr(lp, "L77_BUCKETS", b)
+        got = sorted(
+            map(tuple, lp.l77_curriculum_order(spark, str(tmp_path)).collect())
+        )
+        results[b] = got
+    assert results[1] == results[4] == results[32]
+
+    by_rank = sorted(results[32], key=lambda t: t[2])
+    assert [t[2] for t in by_rank] == list(range(1, 61))
+    expected = sorted(results[32], key=lambda t: (-t[1], t[0]))
+    assert [t[0] for t in by_rank] == [t[0] for t in expected]
+    phases = [t[3] for t in by_rank]
+    assert phases == ["early"] * 20 + ["mid"] * 20 + ["late"] * 20
