@@ -2646,3 +2646,58 @@ def test_l77_global_rank_matches_total_order_any_bucket_count(
     assert [t[0] for t in by_rank] == [t[0] for t in expected]
     phases = [t[3] for t in by_rank]
     assert phases == ["early"] * 20 + ["mid"] * 20 + ["late"] * 20
+
+
+def test_artifact_store_concurrent_writer_reader_storm(
+    spark, tmp_path, monkeypatch
+):
+    """Probabilistic companion to the deterministic race pins above:
+    several writers republish the same key while readers hammer the
+    exists->read path. The atomic-publish contract is that a reader
+    either gets the complete artifact's exact rows or an exception it
+    falls through on — NEVER silently wrong/partial bytes — and a
+    complete artifact stands at the end."""
+    import threading
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    path = lp._artifact_path("storm", "k1")
+    rows_in = [(i, f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows_in, "id long, tag string")
+    expected = sorted(rows_in)
+    wrong: list = []
+    done = threading.Event()
+
+    def writer():
+        for _ in range(4):
+            lp._write_artifact(df, path)
+
+    def reader():
+        while not done.is_set():
+            if not lp._artifact_exists(path):
+                continue
+            try:
+                got = sorted(
+                    tuple(r) for r in lp._read_artifact(spark, path).collect()
+                )
+            except Exception:
+                continue  # guarded consumers fall through to recompute
+            if got != expected:
+                wrong.append(got)
+                return
+
+    writers = [threading.Thread(target=writer) for _ in range(3)]
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join()
+    done.set()
+    for t in readers:
+        t.join()
+
+    assert not wrong, f"reader observed wrong bytes: {wrong[:1]}"
+    assert lp._artifact_exists(path)
+    final = sorted(tuple(r) for r in lp._read_artifact(spark, path).collect())
+    assert final == expected
