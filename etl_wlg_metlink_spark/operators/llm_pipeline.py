@@ -8481,6 +8481,60 @@ ORACLE["l76_span_cut_rebuild"] = _L74_SPAN_CTES + f"""
 L77_BUCKETS = 32
 
 
+def _distributed_rank(
+    df: DataFrame, key: str, group: tuple[str, ...], n_buckets: int
+) -> DataFrame:
+    """Scale-safe ``row_number() OVER (PARTITION BY group ORDER BY key,
+    doc_id)`` — the TeraSort-style total order l77's docstring derives,
+    generalized with a group axis (l78 ranks per epoch). Never runs a
+    corpus-sized single-partition window: boundaries (n_buckets-1
+    exact quantiles) and counts are computed per group in ONE reduce,
+    bucket assignment is a map-side order-consistent expression,
+    per-(group, bucket) counts prefix-sum into offsets on a relation
+    bounded at |groups| × n_buckets rows, and row_number runs per
+    bucket in parallel. Returns df's columns plus ``rank`` (long,
+    1-based within group) and ``n`` (group row count).
+
+    B=1 edge: percentile([]) is NULL, which would become a null bucket
+    key and silently drop every row at the offsets equijoin — coalesce
+    degrades it to one bucket instead."""
+    pcts = [k / n_buckets for k in range(1, n_buckets)]
+    gb = df.groupBy(*group) if group else df.groupBy()
+    bnds = gb.agg(
+        F.percentile(key, pcts).alias("_bnds"),
+        F.count("*").alias("n"),
+    )
+    joined = (
+        df.join(F.broadcast(bnds), list(group))
+        if group
+        else df.crossJoin(F.broadcast(bnds))
+    )
+    safe_bnds = F.coalesce(F.col("_bnds"), F.array().cast("array<double>"))
+    with_b = joined.withColumn(
+        "_bucket", F.size(F.filter(safe_bnds, lambda x: x < F.col(key)))
+    ).drop("_bnds")
+    counts = with_b.groupBy(*group, "_bucket").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*group).orderBy("_bucket")
+        if group
+        else Window.orderBy("_bucket")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        *group,
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy(*group, "_bucket").orderBy(
+        F.col(key).asc(), "doc_id"
+    )
+    return (
+        with_b.withColumn("_lrank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), [*group, "_bucket"])
+        .withColumn("rank", (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_bucket", "_lrank", "_off")
+    )
+
+
 def l77_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum data ordering — a GLOBAL total order of the corpus by
     quality (easy/high-quality first), the schedule curriculum-training
@@ -8515,43 +8569,16 @@ def l77_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score"
         ),
     )
-    bnds = scored.agg(
-        F.percentile(
-            "quality_score", [k / L77_BUCKETS for k in range(1, L77_BUCKETS)]
-        ).alias("bnds"),
-        F.count("*").alias("n"),
-    )
-    # B=1 => no boundaries: percentile([]) is NULL, which would turn
-    # into a null bucket key and silently drop every row in the
-    # offsets equijoin — degrade to one bucket instead
-    safe_bnds = F.coalesce(F.col("bnds"), F.array().cast("array<double>"))
-    with_b = scored.crossJoin(F.broadcast(bnds)).withColumn(
-        "bucket",
-        F.size(F.filter(safe_bnds, lambda x: x > F.col("quality_score"))),
-    )
-    counts = with_b.groupBy("bucket").agg(F.count("*").alias("cnt"))
-    # exclusive prefix sum over <= L77_BUCKETS rows: the one
-    # single-partition window here runs on the bucket RELATION (size
-    # bounded by the bucket constant, never by the corpus)
-    w_off = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-    )
-    w_local = Window.partitionBy("bucket").orderBy(
-        F.col("quality_score").desc(), "doc_id"
-    )
+    # rank ASC over (-score, doc_id) == the oracle's (score DESC,
+    # doc_id); negating the rounded double is exact
+    ranked = _distributed_rank(
+        scored.withColumn("_key", -F.col("quality_score")),
+        "_key",
+        (),
+        L77_BUCKETS,
+    ).drop("_key")
     return (
-        with_b.withColumn("lrank", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "quality_score",
-            (F.col("off") + F.col("lrank")).cast("long").alias("rank"),
-            "n",
-        )
+        ranked.select("doc_id", "quality_score", "rank", "n")
         .select(
             "doc_id",
             "quality_score",
@@ -8588,4 +8615,90 @@ ORACLE["l77_curriculum_order"] = f"""
            ['early', 'mid', 'late'][CAST((rank - 1) * 3 // n AS INT) + 1]
              AS phase
     FROM r, nn
+"""
+
+
+# --------------------------------------------------------------------------
+# l78: deterministic epoch shuffle + shard manifest
+# --------------------------------------------------------------------------
+
+L78_EPOCHS = 3  # training epochs, each with an independent order
+L78_SHARDS = 4  # data-parallel readers per epoch (contiguous ranges)
+
+
+def l78_epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order + shard manifest — the
+    layout step between a curated corpus and data-parallel training:
+    every epoch reshuffles the corpus with a NEW deterministic order
+    (md5(doc_id, epoch) — re-derivable on task retry or restart,
+    unlike rand(), and epoch-independent so no two epochs replay the
+    same order), and each epoch's order is split into S CONTIGUOUS
+    rank ranges so reader r streams its shard sequentially instead of
+    probing a hash-scattered subset. The manifest (one row per
+    (epoch, shard)) carries counts, an id checksum and the exact
+    first/last documents of each shard — what a training launcher
+    records to make a run reproducible.
+
+    Scale shape: the epoch axis is a map-side explode (×E lineage, no
+    shuffle); the global rank WITHIN each epoch reuses l77's
+    distributed-rank machinery with epoch as the group axis —
+    coordination state stays at E × B bounded rows, row_number runs
+    per (epoch, bucket) in parallel, and shard assignment is integer
+    arithmetic on (rank, N), exact in both engines. Hash keys are
+    ~uniform, so the quantile buckets are balanced by construction —
+    the one case where range bucketing cannot skew."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(L78_EPOCHS - 1)).cast("array<long>")
+        ).alias("epoch"),
+    ).withColumn(
+        "hk",
+        _md5_int60(
+            F.concat_ws("_", F.col("doc_id"), F.lit("ep"), F.col("epoch"))
+        ),
+    )
+    ranked = _distributed_rank(keyed, "hk", ("epoch",), L78_BUCKETS)
+    shard = F.expr(f"(rank - 1) * {L78_SHARDS} div n").cast("int")
+    return (
+        ranked.select("epoch", shard.alias("shard"), "doc_id", "rank")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+            F.min_by("doc_id", "rank").alias("first_doc"),
+            F.max_by("doc_id", "rank").alias("last_doc"),
+        )
+    )
+
+
+#: range buckets for l78's per-epoch rank (hash keys are uniform, so
+#: fewer buckets than l77 would also balance; kept equal for parity)
+L78_BUCKETS = 32
+
+QUERIES["l78_epoch_shard_manifest"] = l78_epoch_shard_manifest
+
+ORACLE["l78_epoch_shard_manifest"] = f"""
+    WITH e AS (SELECT unnest(range(0, {L78_EPOCHS})) AS epoch),
+    k AS (
+      SELECT d.doc_id, e.epoch,
+             {_duck_md5_int60("d.doc_id || '_ep_' || e.epoch")} AS hk
+      FROM documents d, e
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id)
+               AS rank
+      FROM k
+    )
+    SELECT epoch,
+           CAST((rank - 1) * {L78_SHARDS} // n AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           arg_min(doc_id, rank) AS first_doc,
+           arg_max(doc_id, rank) AS last_doc
+    FROM r, nn
+    GROUP BY 1, 2
 """

@@ -214,6 +214,7 @@ _ORDER = (
     "l75_softdedup_weights",
     "l76_span_cut_rebuild",
     "l77_curriculum_order",
+    "l78_epoch_shard_manifest",
 )
 
 

@@ -2701,3 +2701,40 @@ def test_artifact_store_concurrent_writer_reader_storm(
     assert lp._artifact_exists(path)
     final = sorted(tuple(r) for r in lp._read_artifact(spark, path).collect())
     assert final == expected
+
+
+def test_l78_epoch_shards_balanced_distinct_deterministic(spark, tmp_path):
+    """Each epoch's shards must tile the corpus in near-equal contiguous
+    ranges, different epochs must produce different orders (fresh
+    deterministic shuffle per epoch), and a re-run must be
+    byte-identical (retry safety — the md5 order, unlike rand(),
+    re-derives)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        L78_EPOCHS,
+        L78_SHARDS,
+        l78_epoch_shard_manifest,
+    )
+
+    n = 41  # not divisible by L78_SHARDS: exercises the remainder split
+    rows = [(i, f"tok{i} tok{i + 1}", "en", "web", 0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = l78_epoch_shard_manifest(spark, str(tmp_path)).collect()
+    assert len(got) == L78_EPOCHS * L78_SHARDS
+    by_epoch: dict = {}
+    for r in got:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for epoch, shards in by_epoch.items():
+        sizes = [r["n_docs"] for r in shards]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1  # near-equal contiguous split
+        assert sum(r["sum_doc_ids"] for r in shards) == n * (n - 1) // 2
+    # fresh order per epoch: the per-epoch shard boundaries can't all
+    # coincide (md5 keys re-draw per epoch)
+    firsts = {tuple(sorted(r["first_doc"] for r in v)) for v in by_epoch.values()}
+    assert len(firsts) == L78_EPOCHS
+    # retry safety: a second run reproduces the manifest exactly
+    again = l78_epoch_shard_manifest(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
