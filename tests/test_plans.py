@@ -35,6 +35,7 @@ BNLJ_OK_BOUNDED = {
     "l67_retrieval_metrics",  # inherits l56's 1-row corpus-scalars BNLJ
     "r34_prospect_customers",  # 1-row broadcast global-average balance
     "r32_small_quantity_revenue",  # 1-row fallback if threshold stats stale
+    "l77_curriculum_order",  # 1-row broadcast quantile boundaries + count
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the
