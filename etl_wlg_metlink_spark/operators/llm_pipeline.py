@@ -1708,6 +1708,42 @@ L20_LO = -4.95  # less predictable than this → unusual vocabulary mix
 L20_HOT_K = 16
 
 
+def _unigram_scored(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc unigram-LM mean log2-probability — the scoring core
+    shared by l20 (threshold flags) and l80 (CCNet-style per-language
+    percentile buckets), extracted so the two lanes can't drift. The
+    hot/cold split strategy is documented on l20; `extra` columns
+    (e.g. lang) ride along through the lineage and the final groupBy,
+    adding no data movement of their own."""
+    tokens = docs.select(
+        "doc_id", *extra, F.explode(_words(F.col("text"))).alias("w")
+    )
+    vocab = tokens.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "w", "c", F.log2(F.col("c") / F.col("total")).alias("logp")
+    )
+    # Hot head: global top-K by frequency (TakeOrderedAndProject — no
+    # full sort); ties broken by word for determinism of the SPLIT
+    # (the scored result is split-invariant either way).
+    hot = lm.orderBy(F.col("c").desc(), "w").limit(L20_HOT_K).select("w", "logp")
+    cold = lm.join(hot.select("w"), "w", "left_anti").select("w", "logp")
+    hot_scored = tokens.join(F.broadcast(hot), "w").select(
+        "doc_id", *extra, "logp"
+    )
+    # Cold tokens are the residual minority of token mass; their word
+    # keys are unskewed (each is rare), so this shuffle is benign.
+    cold_scored = tokens.join(cold, "w").select("doc_id", *extra, "logp")
+    return (
+        hot_scored.unionByName(cold_scored)
+        .groupBy("doc_id", *extra)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("mean_log2p"),
+        )
+    )
+
+
 def l20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM scoring — the CCNet-style perplexity quality filter
     in front of LLM training ingestion: build a unigram language model
@@ -1728,29 +1764,7 @@ def l20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly one side, so results are independent of L20_HOT_K (the
     oracle runs the unsplit SQL)."""
     docs = load(spark, sf_dir, "documents")
-    tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
-    vocab = tokens.groupBy("w").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("total"))
-    lm = vocab.crossJoin(F.broadcast(total)).select(
-        "w", "c", F.log2(F.col("c") / F.col("total")).alias("logp")
-    )
-    # Hot head: global top-K by frequency (TakeOrderedAndProject — no
-    # full sort); ties broken by word for determinism of the SPLIT
-    # (the scored result is split-invariant either way).
-    hot = lm.orderBy(F.col("c").desc(), "w").limit(L20_HOT_K).select("w", "logp")
-    cold = lm.join(hot.select("w"), "w", "left_anti").select("w", "logp")
-    hot_scored = tokens.join(F.broadcast(hot), "w").select("doc_id", "logp")
-    # Cold tokens are the residual minority of token mass; their word
-    # keys are unskewed (each is rare), so this shuffle is benign.
-    cold_scored = tokens.join(cold, "w").select("doc_id", "logp")
-    scored = (
-        hot_scored.unionByName(cold_scored)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("logp"), 4).alias("mean_log2p"),
-        )
-    )
+    scored = _unigram_scored(docs)
     flag = (
         F.when(F.col("mean_log2p") > L20_HI, "repetitive")
         .when(F.col("mean_log2p") < L20_LO, "unusual")
@@ -8701,4 +8715,479 @@ ORACLE["l78_epoch_shard_manifest"] = f"""
            arg_max(doc_id, rank) AS last_doc
     FROM r, nn
     GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# l79: exact corpus diversity via the sum-vector identity
+# --------------------------------------------------------------------------
+
+
+def l79_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean pairwise cosine similarity of the embedding corpus,
+    per label and overall — the standard dataset-diversity health
+    metric (a near-1 mean cosine says the corpus has collapsed onto a
+    few directions; curation pipelines track it per source/label to
+    catch mode collapse after aggressive dedup or filtering).
+
+    The naive computation is a quadratic self-join (N² pairs — dead at
+    100 TB). This lane computes the identical quantity in ONE linear
+    pass with the sum-vector identity: for unit-normalized vectors,
+
+        sum_{i != j} cos(v_i, v_j) = ||sum_i v̂_i||² - sum_i ||v̂_i||²
+
+    so mean pairwise cosine = (S2 - SS) / (n·(n-1)) where S2 is the
+    squared length of the per-dimension component SUM and SS the sum of
+    squared normalized components. Everything reduces map-side: one
+    explode (×64 narrow), one hash-agg to |labels|×64 rows, then
+    driver-trivial arithmetic; the overall row reuses the per-label
+    partials (a second agg over the already-bounded relation), so the
+    corpus is read once. Both engines sum the same normalized
+    components (sequential-fold norm, the l9 discipline) and round the
+    final statistic, absorbing reduce-order float noise."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    comp = corpus.select(
+        "label", "norm", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        (F.col("x").cast("double") / F.col("norm")).alias("xn"),
+    )
+    g1 = comp.groupBy("label", "dim").agg(
+        F.sum("xn").alias("s"),
+        F.sum(F.col("xn") * F.col("xn")).alias("ss"),
+    )
+    n_label = corpus.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    per_label = (
+        g1.groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+            F.sum("ss").alias("ssq"),
+        )
+        .join(F.broadcast(n_label), "label")
+    )
+    # overall: per-dim sums across labels derive from the SAME bounded
+    # partials — no second corpus pass
+    g_dim = g1.groupBy("dim").agg(
+        F.sum("s").alias("s"), F.sum("ss").alias("ss")
+    )
+    overall = (
+        g_dim.agg(
+            F.sum(F.col("s") * F.col("s")).alias("s2"),
+            F.sum("ss").alias("ssq"),
+        )
+        .crossJoin(
+            F.broadcast(corpus.agg(F.count("*").alias("n_vecs")))
+        )
+        .select(F.lit(-1).cast("long").alias("label"), "s2", "ssq", "n_vecs")
+    )
+    mean_cos = F.round(
+        (F.col("s2") - F.col("ssq"))
+        / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1.0))),
+        4,
+    )
+    return (
+        per_label.select("label", "s2", "ssq", "n_vecs")
+        .unionByName(overall)
+        .select("label", "n_vecs", mean_cos.alias("mean_pairwise_cosine"))
+    )
+
+
+QUERIES["l79_corpus_diversity"] = l79_corpus_diversity
+
+ORACLE["l79_corpus_diversity"] = f"""
+    WITH c AS ({_DUCK_COSINE_CORPUS}),
+    comp AS (
+      SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+             embedding[i]::DOUBLE / norm AS xn
+      FROM c, range(1, 65) AS t(i)
+    ),
+    g1 AS (
+      SELECT label, dim, SUM(xn) AS s, SUM(xn * xn) AS ss
+      FROM comp GROUP BY 1, 2
+    ),
+    nl AS (
+      SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs
+      FROM embeddings GROUP BY 1
+    ),
+    pl AS (
+      SELECT label, SUM(s * s) AS s2, SUM(ss) AS ssq
+      FROM g1 GROUP BY 1
+    ),
+    gd AS (SELECT dim, SUM(s) AS s, SUM(ss) AS ss FROM g1 GROUP BY 1),
+    ov AS (
+      SELECT CAST(-1 AS BIGINT) AS label, SUM(s * s) AS s2,
+             SUM(ss) AS ssq
+      FROM gd
+    ),
+    ng AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    u AS (
+      SELECT pl.label, pl.s2, pl.ssq, nl.n_vecs
+      FROM pl JOIN nl USING (label)
+      UNION ALL
+      SELECT ov.label, ov.s2, ov.ssq, ng.n_vecs FROM ov, ng
+    )
+    SELECT label, n_vecs,
+           ROUND((s2 - ssq) / (n_vecs * (n_vecs - 1.0)), 4)
+             AS mean_pairwise_cosine
+    FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# l80: CCNet-style per-language perplexity buckets
+# --------------------------------------------------------------------------
+
+L80_BUCKETS = 32  # range buckets for the per-language distributed rank
+
+
+def l80_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partition: score every document with the
+    corpus unigram LM (l20's scorer — shared helper, the lanes can't
+    drift) and split EACH LANGUAGE into head / middle / tail thirds by
+    mean log-probability (head = most predictable). This is the
+    classic web-corpus curation step (Wenzek et al., CCNet 2020):
+    downstream pipelines keep head+middle and sample the tail.
+
+    The percentile split needs a per-language total order — computed
+    with l77's TeraSort-style distributed rank (group axis = lang), so
+    no language ever collapses into a single window task: quantile
+    boundaries and counts are one bounded reduce, row_number runs per
+    (lang, bucket) in parallel, and the thirds assignment is integer
+    arithmetic on (rank, n). Output is the per-(lang, bucket) audit
+    relation with a sum(doc_id) checksum pinning exact membership —
+    the oracle's plain single-window SQL must agree row-for-row."""
+    docs = load(spark, sf_dir, "documents")
+    scored = _unigram_scored(docs, ("lang",))
+    # rank ASC over (-mean_log2p, doc_id) == (mean_log2p DESC, doc_id);
+    # negating the rounded double is exact
+    ranked = _distributed_rank(
+        scored.withColumn("_key", -F.col("mean_log2p")),
+        "_key",
+        ("lang",),
+        L80_BUCKETS,
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.expr("(rank - 1) * 3 div n") + 1).cast("int"),
+    )
+    return (
+        ranked.select(
+            "lang", bucket.alias("ppl_bucket"), "doc_id", "mean_log2p"
+        )
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+            F.round(F.avg("mean_log2p"), 4).alias("avg_log2p"),
+        )
+    )
+
+
+QUERIES["l80_perplexity_buckets"] = l80_perplexity_buckets
+
+ORACLE["l80_perplexity_buckets"] = """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), v AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), t AS (
+      SELECT SUM(c)::DOUBLE AS total FROM v
+    ), lm AS (
+      SELECT w, log2(c / total) AS logp FROM v, t
+    ), s AS (
+      SELECT doc_id, lang, ROUND(AVG(logp), 4) AS mean_log2p
+      FROM tok JOIN lm USING (w) GROUP BY 1, 2
+    ),
+    nn AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY 1),
+    r AS (
+      SELECT doc_id, lang, mean_log2p,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY mean_log2p DESC, doc_id
+             ) AS rank
+      FROM s
+    )
+    SELECT lang,
+           ['head', 'middle', 'tail'][CAST((rank - 1) * 3 // n AS INT) + 1]
+             AS ppl_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           ROUND(AVG(mean_log2p), 4) AS avg_log2p
+    FROM r JOIN nn USING (lang)
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# l81: UniMax language-budget allocation (waterfilling with epoch caps)
+# --------------------------------------------------------------------------
+
+L81_MAX_EPOCHS = 3  # no language repeats more than this many times
+#: token budget = L81_BUDGET_NUM/L81_BUDGET_DEN × corpus tokens —
+#: integer ratio so the budget itself is exact in both engines
+L81_BUDGET_NUM = 3
+L81_BUDGET_DEN = 2
+
+
+def l81_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax multilingual sampling allocation (Chung et al. 2023):
+    given per-language corpus sizes s_l, a total training-token budget
+    B and an epoch cap E (no language repeats more than E times),
+    allocate each language min(E·s_l, t) tokens where the water level
+    t spends the budget exactly. The closed form: sort languages by
+    cap ascending; a language is capped iff granting every
+    not-yet-decided language its own cap-sized share would still fit —
+    cap_l · (remaining languages) ≤ remaining budget, an ALL-INTEGER
+    predicate (token counts and caps are ints, B is an integer ratio
+    of the total), so the capped/uncapped partition is bit-exact in
+    both engines; only the final water level divides into a double.
+
+    Scale shape: the heavy work is one map+combine token-count agg
+    over the corpus. Everything after operates on the LANGUAGE
+    dimension — a bounded-by-construction relation (|langs| ≪ the
+    cluster), so the sort window and the two 1-row scalar broadcasts
+    coordinate O(|langs|) state, never corpus rows."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(F.col("text")))).alias("n_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.count("*").alias("n_langs"),
+    ).select(
+        F.expr(
+            f"t_total * {L81_BUDGET_NUM} div {L81_BUDGET_DEN}"
+        ).alias("budget"),
+        "n_langs",
+    )
+    base = (
+        per_lang.withColumn(
+            "cap_tokens", F.col("n_tokens") * F.lit(L81_MAX_EPOCHS)
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    w_ord = Window.orderBy("cap_tokens", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    staged = base.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "budget",
+        "n_langs",
+        F.row_number().over(w_ord).alias("idx"),
+        F.coalesce(F.sum("cap_tokens").over(w_prev), F.lit(0)).alias(
+            "cum_prev"
+        ),
+    ).withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("idx") + 1)
+        <= F.col("budget") - F.col("cum_prev"),
+    )
+    spent = staged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("cap_spent"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_capped"),
+    )
+    level = (F.col("budget") - F.col("cap_spent")) / (
+        F.col("n_langs") - F.col("n_capped")
+    )
+    alloc = F.when(
+        F.col("capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return staged.crossJoin(F.broadcast(spent)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+    )
+
+
+QUERIES["l81_unimax_budget"] = l81_unimax_budget
+
+ORACLE["l81_unimax_budget"] = f"""
+    WITH pl AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) * {L81_BUDGET_NUM} // {L81_BUDGET_DEN}
+               AS budget,
+             COUNT(*) AS n_langs
+      FROM pl
+    ),
+    staged AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens * {L81_MAX_EPOCHS} AS cap_tokens,
+             budget, n_langs,
+             row_number() OVER w AS idx,
+             COALESCE(SUM(n_tokens * {L81_MAX_EPOCHS}) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_prev
+      FROM pl, tot
+      WINDOW w AS (ORDER BY n_tokens * {L81_MAX_EPOCHS}, lang)
+    ),
+    flagged AS (
+      SELECT *,
+             cap_tokens * (n_langs - idx + 1) <= budget - cum_prev
+               AS capped
+      FROM staged
+    ),
+    spent AS (
+      SELECT COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0)
+               AS cap_spent,
+             COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+               AS n_capped
+      FROM flagged
+    )
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cap_tokens AS BIGINT) AS cap_tokens, capped,
+           ROUND(CASE WHEN capped THEN cap_tokens::DOUBLE
+                 ELSE (budget - cap_spent)::DOUBLE / (n_langs - n_capped)
+                 END, 4) AS alloc_tokens,
+           ROUND(CASE WHEN capped THEN cap_tokens::DOUBLE
+                 ELSE (budget - cap_spent)::DOUBLE / (n_langs - n_capped)
+                 END / n_tokens, 4) AS epochs
+    FROM flagged, spent
+"""
+
+
+# --------------------------------------------------------------------------
+# l82: prototype-distance pruning over embeddings
+# --------------------------------------------------------------------------
+
+#: z-score fences on cosine-to-own-centroid: far above the label mean
+#: = prototypical/easy (prune for large corpora, per Sorscher et al.
+#: 2022 "Beyond neural scaling laws"); far below = likely label noise.
+L82_EASY_Z = 1.5
+L82_OUTLIER_Z = -2.5
+
+
+def l82_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning: score every vector by cosine to
+    its OWN label centroid, z-score within the label, and mark the
+    over-prototypical rows (`prune_easy` — redundant mass near the
+    class prototype) and the far outliers (`prune_outlier` — probable
+    label noise). This is the embedding-side companion to the text
+    quality lanes: curation keeps the hard middle of each class.
+
+    Scale shape: centroids are a |labels|×64 hash-agg (bounded →
+    broadcast back); the per-vector dot against the own-label centroid
+    is a broadcast equi-join on (label, dim) feeding one hash-agg —
+    map-side combinable, no corpus shuffle beyond the (vec, label)
+    agg; the per-label moment pass is another bounded agg + broadcast.
+    Cross-engine float discipline: centroid components round(6) before
+    any product, per-vector sums round(4) before the divide, the
+    z-score rounds before the fence comparison — both engines compare
+    identical doubles, so the action partition is deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("vec_id", "label", "dim", F.col("x").cast("double").alias("x"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m")
+    )
+    cent_norm = cent.groupBy("label").agg(
+        F.round(F.sum(F.col("m") * F.col("m")), 4).alias("sm2")
+    )
+    per_vec = (
+        comp.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sum(F.col("x") * F.col("m")), 4).alias("dot"),
+            F.round(F.sum(F.col("x") * F.col("x")), 4).alias("sx2"),
+        )
+    )
+    cosd = per_vec.join(F.broadcast(cent_norm), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("sx2") * F.col("sm2")), 4
+        ).alias("cos_to_centroid"),
+    )
+    stats = cosd.groupBy("label").agg(
+        F.avg("cos_to_centroid").alias("mu"),
+        F.stddev_pop("cos_to_centroid").alias("sd"),
+    )
+    z = F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("cos_to_centroid") - F.col("mu")) / F.col("sd"), 4)
+    )
+    action = (
+        F.when(F.col("z_score") >= L82_EASY_Z, "prune_easy")
+        .when(F.col("z_score") <= L82_OUTLIER_Z, "prune_outlier")
+        .otherwise("keep")
+    )
+    return (
+        cosd.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", "cos_to_centroid", z.alias("z_score"))
+        .select(
+            "vec_id",
+            "label",
+            "cos_to_centroid",
+            "z_score",
+            action.alias("action"),
+        )
+    )
+
+
+QUERIES["l82_prototype_prune"] = l82_prototype_prune
+
+ORACLE["l82_prototype_prune"] = f"""
+    WITH comp AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS dim,
+             embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, 65) AS t(i)
+    ),
+    cent AS (
+      SELECT label, dim, ROUND(AVG(x), 6) AS m
+      FROM comp GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT label, ROUND(SUM(m * m), 4) AS sm2 FROM cent GROUP BY 1
+    ),
+    pv AS (
+      SELECT vec_id, comp.label,
+             ROUND(SUM(x * m), 4) AS dot,
+             ROUND(SUM(x * x), 4) AS sx2
+      FROM comp JOIN cent USING (label, dim)
+      GROUP BY 1, 2
+    ),
+    cosd AS (
+      SELECT vec_id, label,
+             ROUND(dot / sqrt(sx2 * sm2), 4) AS cos_to_centroid
+      FROM pv JOIN cn USING (label)
+    ),
+    st AS (
+      SELECT label, AVG(cos_to_centroid) AS mu,
+             stddev_pop(cos_to_centroid) AS sd
+      FROM cosd GROUP BY 1
+    ),
+    zed AS (
+      SELECT vec_id, label, cos_to_centroid,
+             CASE WHEN sd = 0 THEN 0.0
+                  ELSE ROUND((cos_to_centroid - mu) / sd, 4) END
+               AS z_score
+      FROM cosd JOIN st USING (label)
+    )
+    SELECT vec_id, label, cos_to_centroid, z_score,
+           CASE WHEN z_score >= {L82_EASY_Z} THEN 'prune_easy'
+                WHEN z_score <= {L82_OUTLIER_Z} THEN 'prune_outlier'
+                ELSE 'keep' END AS action
+    FROM zed
 """

@@ -215,6 +215,10 @@ _ORDER = (
     "l76_span_cut_rebuild",
     "l77_curriculum_order",
     "l78_epoch_shard_manifest",
+    "l79_corpus_diversity",
+    "l80_perplexity_buckets",
+    "l81_unimax_budget",
+    "l82_prototype_prune",
 )
 
 

@@ -36,6 +36,9 @@ BNLJ_OK_BOUNDED = {
     "r34_prospect_customers",  # 1-row broadcast global-average balance
     "r32_small_quantity_revenue",  # 1-row fallback if threshold stats stale
     "l77_curriculum_order",  # 1-row broadcast quantile boundaries + count
+    "l79_corpus_diversity",  # 1-row broadcast corpus count onto the overall row
+    "l80_perplexity_buckets",  # l20's 1-row corpus-total + rank boundary rows
+    "l81_unimax_budget",  # 1-row budget/water-level scalars onto ≤|langs| rows
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the

@@ -2738,3 +2738,208 @@ def test_l78_epoch_shards_balanced_distinct_deterministic(spark, tmp_path):
     # retry safety: a second run reproduces the manifest exactly
     again = l78_epoch_shard_manifest(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_l79_diversity_matches_numpy_pairwise(spark, tmp_path):
+    """The sum-vector identity must reproduce the brute-force N² mean
+    pairwise cosine (computed in numpy) per label and overall, without
+    ever forming a pair."""
+    import numpy as np
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l79_corpus_diversity,
+    )
+
+    rng_base = [
+        [((i * 37 + d * 11) % 97 - 48) / 48.0 for d in range(64)]
+        for i in range(30)
+    ]
+    rows = [
+        (i, [float(np.float32(x)) for x in v], i % 3)
+        for i, v in enumerate(rng_base)
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_pairwise_cosine"])
+        for r in l79_corpus_diversity(spark, str(tmp_path)).collect()
+    }
+
+    vecs = np.array([v for _, v, _ in rows], dtype=np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    labels = np.array([lbl for _, _, lbl in rows])
+
+    def brute(mask):
+        u = unit[mask]
+        n = len(u)
+        sims = u @ u.T
+        return (sims.sum() - np.trace(sims)) / (n * (n - 1))
+
+    for lbl in (0, 1, 2):
+        n_vecs, mean_cos = got[lbl]
+        assert n_vecs == int((labels == lbl).sum())
+        assert abs(mean_cos - brute(labels == lbl)) < 2e-4
+    n_all, overall = got[-1]
+    assert n_all == len(rows)
+    assert abs(overall - brute(np.ones(len(rows), bool))) < 2e-4
+
+
+def test_l80_buckets_tile_and_rank_predictable_head(spark, tmp_path):
+    """Per-language buckets must tile each language into near-equal
+    thirds whose membership checksum matches the driver-side sort of
+    the shared unigram scorer; planted ultra-predictable docs must
+    land in the head bucket of their language."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = []
+    # 12 'en' docs: 3 made of the corpus's most common word (highest
+    # mean logp -> head), 9 of unique rare words
+    for i in range(3):
+        rows.append((i, " ".join(["common"] * 8), "en", "web", 0))
+    for i in range(3, 12):
+        rows.append(
+            (i, " ".join(f"rare{i}_{j}" for j in range(6)), "en", "web", 0)
+        )
+    # 6 'de' docs with a mix
+    for i in range(12, 18):
+        rows.append(
+            (i, "common " + " ".join(f"u{i}_{j}" for j in range(i - 9)),
+             "de", "web", 0)
+        )
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = lp.l80_perplexity_buckets(spark, str(tmp_path)).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["ppl_bucket"]] = r
+    for lang, n in (("en", 12), ("de", 6)):
+        assert sum(r["n_docs"] for r in by_lang[lang].values()) == n
+        sizes = [r["n_docs"] for r in by_lang[lang].values()]
+        assert max(sizes) - min(sizes) <= 1
+
+    # driver-side reference: sort the shared scorer's output
+    scored = lp._unigram_scored(
+        lp.load(spark, str(tmp_path), "documents"), ("lang",)
+    ).collect()
+    en = sorted(
+        (r for r in scored if r["lang"] == "en"),
+        key=lambda r: (-r["mean_log2p"], r["doc_id"]),
+    )
+    head_ids = {r["doc_id"] for r in en[:4]}
+    assert {0, 1, 2} <= head_ids  # planted predictable docs lead
+    assert by_lang["en"]["head"]["sum_doc_ids"] == sum(head_ids)
+
+
+def test_l81_waterfilling_reference_and_budget_conservation(spark, tmp_path):
+    """The allocation must match a pure-python waterfilling reference:
+    capped languages get exactly cap, uncapped ones share one water
+    level, and the budget is spent exactly."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = []
+    doc_id = 0
+    # one huge language (uncapped) + three tiny ones (capped)
+    for lang, n_docs, words in (
+        ("en", 40, 20), ("de", 3, 4), ("es", 2, 3), ("zh", 1, 5),
+    ):
+        for _ in range(n_docs):
+            rows.append(
+                (doc_id, " ".join(f"w{doc_id}_{j}" for j in range(words)),
+                 lang, "web", 0)
+            )
+            doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["lang"]: r for r in
+           lp.l81_unimax_budget(spark, str(tmp_path)).collect()}
+
+    sizes = {}
+    for _, text, lang, _, _ in rows:
+        sizes[lang] = sizes.get(lang, 0) + len(text.split(" "))
+    total = sum(sizes.values())
+    budget = total * lp.L81_BUDGET_NUM // lp.L81_BUDGET_DEN
+    caps = {lg: s * lp.L81_MAX_EPOCHS for lg, s in sizes.items()}
+
+    # python waterfilling reference
+    alloc, remaining, langs = {}, budget, sorted(
+        caps, key=lambda lg: (caps[lg], lg)
+    )
+    for pos, lg in enumerate(langs):
+        if caps[lg] * (len(langs) - pos) <= remaining:
+            alloc[lg] = float(caps[lg])
+            remaining -= caps[lg]
+        else:
+            level = remaining / (len(langs) - pos)
+            for rest in langs[pos:]:
+                alloc[rest] = level
+            break
+
+    for lg in sizes:
+        r = out[lg]
+        assert r["n_tokens"] == sizes[lg]
+        assert r["cap_tokens"] == caps[lg]
+        assert abs(r["alloc_tokens"] - round(alloc[lg], 4)) < 1e-9
+        assert r["capped"] == (alloc[lg] == caps[lg] != budget)
+        assert abs(r["epochs"] - round(alloc[lg] / sizes[lg], 4)) < 1e-9
+    assert abs(sum(a for a in alloc.values()) - budget) < 1e-6
+    # epoch cap honored everywhere
+    assert all(r["epochs"] <= lp.L81_MAX_EPOCHS + 1e-9 for r in out.values())
+
+
+def test_l82_outlier_flagged_and_z_normalized(spark, tmp_path):
+    """A planted far outlier must be the label's prune_outlier; cluster
+    cores near the prototype must never be outliers; z-scores must be
+    label-normalized (mean ~0) and the action partition must follow the
+    rounded fences exactly."""
+    import numpy as np
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = []
+    vid = 0
+    for lbl in (0, 1):
+        base = np.zeros(64)
+        base[lbl] = 1.0
+        for i in range(12):
+            v = base.copy()
+            v[(i + 2) % 64] = 0.05 * (i + 1) / 12.0  # tight cluster
+            rows.append((vid, [float(np.float32(x)) for x in v], lbl))
+            vid += 1
+        out = -base  # diametric outlier
+        rows.append((vid, [float(np.float32(x)) for x in out], lbl))
+        vid += 1
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = lp.l82_prototype_prune(spark, str(tmp_path)).collect()
+    by_label: dict = {}
+    for r in got:
+        by_label.setdefault(r["label"], []).append(r)
+    for lbl, rs in by_label.items():
+        assert len(rs) == 13
+        outliers = [r for r in rs if r["action"] == "prune_outlier"]
+        # the planted diametric vector is each label's last vec_id
+        assert [r["vec_id"] for r in outliers] == [
+            max(r["vec_id"] for r in rs)
+        ]
+        assert outliers[0]["cos_to_centroid"] == min(
+            r["cos_to_centroid"] for r in rs
+        )
+        zs = [r["z_score"] for r in rs]
+        assert abs(sum(zs) / len(zs)) < 0.05
+        for r in rs:
+            if r["z_score"] >= lp.L82_EASY_Z:
+                assert r["action"] == "prune_easy"
+            elif r["z_score"] <= lp.L82_OUTLIER_Z:
+                assert r["action"] == "prune_outlier"
+            else:
+                assert r["action"] == "keep"
