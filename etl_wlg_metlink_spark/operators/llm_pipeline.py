@@ -9191,3 +9191,156 @@ ORACLE["l82_prototype_prune"] = f"""
                 ELSE 'keep' END AS action
     FROM zed
 """
+
+
+# --------------------------------------------------------------------------
+# l83: tokenizer fertility per language
+# --------------------------------------------------------------------------
+
+
+def l83_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — tokens-per-word and chars-per-token
+    per language for the BPE-ish regex tokenizer vs the whitespace
+    baseline (l1's two counters, rolled up per language). Fertility is
+    THE cross-lingual tokenizer-budget metric: a language whose
+    fertility is 2× pays 2× context for the same text, so mixture and
+    budget decisions (l81) consume exactly this relation.
+
+    All-integer aggregation (counts sum exactly in any reduce order);
+    the two ratios are one IEEE division each on identical longs —
+    deterministic cross-engine without any rounding discipline."""
+    docs = load(spark, sf_dir, "documents")
+    re_tokens = F.regexp_count(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(F.col("text")))).alias("ws_tokens"),
+        F.sum(re_tokens).alias("re_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "re_tokens",
+        F.round(F.col("re_tokens") / F.col("ws_tokens"), 4).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars") / F.col("re_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+QUERIES["l83_tokenizer_fertility"] = l83_tokenizer_fertility
+
+ORACLE["l83_tokenizer_fertility"] = r"""
+    WITH m AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS ws_tokens,
+             SUM(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS re_tokens,
+             SUM(length(text)) AS n_chars
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(re_tokens AS BIGINT) AS re_tokens,
+           ROUND(re_tokens::DOUBLE / ws_tokens, 4) AS fertility,
+           ROUND(n_chars::DOUBLE / re_tokens, 4) AS chars_per_token
+    FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# l84: hard-negative mining from the BM25 run
+# --------------------------------------------------------------------------
+
+L84_NEG_K = 3  # hardest negatives kept per query
+
+
+def l84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the training-pair assembly step for a
+    retrieval/embedding model: from the stored BM25 run (the
+    per-fingerprint ranked artifact l67 also reads — mining is an
+    artifact consumer, it never re-runs retrieval), each query takes
+    its best same-source hit as the positive and its top-ranked
+    WRONG-source hits as hard negatives (the retriever scored them
+    high, supervision says they're wrong — exactly the pairs contrastive
+    training needs), emitting (query, positive, negative, margin)
+    triplets. Queries whose top-K contains no positive yield no
+    triplet (nothing to contrast against), the standard convention.
+
+    Scale shape: everything operates on the queries × K run relation —
+    bounded, broadcast-sized; the query→source map broadcasts (query
+    set is bounded by construction, l56's % L56_QMOD). Margins subtract
+    two fixed-quantum round(4) scores, so they sit ~5e-5 from any
+    rounding boundary — deterministic cross-engine."""
+    ranked = _bm25_ranked_artifact(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    qsrc = F.broadcast(
+        src.where(F.col("doc_id") % L56_QMOD == 7).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("source").alias("q_source"),
+        )
+    )
+    lab = (
+        ranked.join(src, "doc_id")
+        .join(qsrc, "query_id")
+        .withColumn("rel", F.col("source") == F.col("q_source"))
+    )
+    pos = lab.where(F.col("rel")).groupBy("query_id").agg(
+        F.min_by("doc_id", "rnk").alias("pos_doc"),
+        F.min("rnk").alias("pos_rank"),
+        F.min_by("score", "rnk").alias("pos_score"),
+    )
+    w_neg = Window.partitionBy("query_id").orderBy("rnk")
+    negs = (
+        lab.where(~F.col("rel"))
+        .withColumn("nrk", F.row_number().over(w_neg))
+        .where(F.col("nrk") <= L84_NEG_K)
+    )
+    return negs.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "pos_doc",
+        F.col("doc_id").alias("neg_doc"),
+        "pos_rank",
+        F.col("rnk").alias("neg_rank"),
+        F.round(F.col("pos_score") - F.col("score"), 4).alias("margin"),
+    )
+
+
+QUERIES["l84_hard_negative_mining"] = l84_hard_negative_mining
+
+ORACLE["l84_hard_negative_mining"] = f"""
+    WITH ranked AS ({{L56_SQL}}),
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT r.query_id AS query_id, r.doc_id AS doc_id, r.rnk AS rnk,
+             r.score AS score,
+             CASE WHEN d.source = q.source THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      JOIN src d ON r.doc_id = d.doc_id
+      JOIN src q ON r.query_id = q.doc_id
+    ),
+    pos AS (
+      SELECT query_id, arg_min(doc_id, rnk) AS pos_doc,
+             MIN(rnk) AS pos_rank, arg_min(score, rnk) AS pos_score
+      FROM lab WHERE rel = 1 GROUP BY 1
+    ),
+    negs AS (
+      SELECT query_id, doc_id, rnk, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rnk) AS nrk
+      FROM lab WHERE rel = 0
+    )
+    SELECT n.query_id AS query_id, pos_doc, n.doc_id AS neg_doc,
+           pos_rank, n.rnk AS neg_rank,
+           ROUND(pos_score - n.score, 4) AS margin
+    FROM negs n JOIN pos USING (query_id)
+    WHERE nrk <= {L84_NEG_K}
+"""
+ORACLE["l84_hard_negative_mining"] = ORACLE[
+    "l84_hard_negative_mining"
+].replace("{L56_SQL}", ORACLE["l56_bm25_retrieval"])

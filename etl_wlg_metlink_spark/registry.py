@@ -219,6 +219,9 @@ _ORDER = (
     "l80_perplexity_buckets",
     "l81_unimax_budget",
     "l82_prototype_prune",
+    "l83_tokenizer_fertility",
+    "l84_hard_negative_mining",
+    "s14_drift_monitor",
 )
 
 

@@ -586,3 +586,54 @@ ORACLE["s13_streaming_ann_ingest"] = f"""
       FROM c, seeds
     ) WHERE ar = 1
 """
+
+
+def s14_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: windowed event-type mix
+    scored with the Population Stability Index against the static
+    reference profile, with stable/moderate/major fences at the
+    conventional 0.1/0.25 (runners.drift_monitor_run — the data-quality
+    alarm a production training-ingest runs in front of admission).
+    Oracle = the identical batch math over the full table (the
+    availableNow replay admits zero late drops)."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.drift_monitor_run(spark, sf_dir)
+    )
+
+
+QUERIES["s14_drift_monitor"] = s14_drift_monitor
+
+ORACLE["s14_drift_monitor"] = """
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ref AS (SELECT event_type, COUNT(*) AS n_ref FROM events GROUP BY 1),
+    rt AS (SELECT SUM(n_ref) AS ref_total FROM ref),
+    wt AS (SELECT window_start, SUM(n) AS window_total
+           FROM counts GROUP BY 1),
+    c AS (
+      SELECT window_start, window_total,
+             CAST(floor((n::DOUBLE / window_total
+                         - n_ref::DOUBLE / ref_total)
+                        * ln((n::DOUBLE / window_total)
+                             / (n_ref::DOUBLE / ref_total))
+                        * 1000000 + 0.5) AS BIGINT) AS contrib
+      FROM counts JOIN wt USING (window_start)
+                  JOIN ref USING (event_type), rt
+    ),
+    p AS (
+      SELECT window_start, window_total,
+             SUM(contrib) / 1000000.0 AS psi
+      FROM c GROUP BY 1, 2
+    )
+    SELECT window_start, CAST(window_total AS BIGINT) AS n_events, psi,
+           CASE WHEN psi >= 0.25 THEN 'major'
+                WHEN psi >= 0.1 THEN 'moderate'
+                ELSE 'stable' END AS drift_level
+    FROM p
+"""

@@ -966,3 +966,89 @@ def ivf_ingest_run(
     for d in (ledger_dir, checkpoint_dir):
         shutil.rmtree(d, ignore_errors=True)
     return serving
+
+
+def drift_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: the watermarked tumbling
+    window counts stream (s1's runner) lands in a memory sink, and the
+    serving read scores every window's event-type mix against the
+    STATIC reference profile with the Population Stability Index —
+    the standard production data-quality alarm in front of a training
+    ingest (a window whose event mix diverges from the profile the
+    pipeline was tuned on gets quarantined, not ingested).
+
+    PSI = Σ_t (p_wt - p_rt) · ln(p_wt / p_rt) over the event types
+    OBSERVED in the window (the reference profile covers every type by
+    construction — it is the full-corpus distribution — so no zero
+    denominators; absent types contribute nothing, the observed-support
+    convention). Per-type contributions round(6) before the per-window
+    sum (order-nondeterministic), the sum rounds to 4 — the l56
+    fixed-quantum discipline, so the drift fences compare identical
+    doubles in both engines.
+
+    Scale shape: streaming state is the watermark-bounded window×type
+    counts; the reference profile is a |types|-row broadcast; the
+    serving PSI is arithmetic on the already-tiny window×type relation.
+    """
+    from etl_wlg_metlink_spark.tables import load
+
+    stream = events_stream(spark, sf_dir)
+    # update mode: append would hold back every window inside the
+    # 2-hour watermark of the stream's end (the availableNow replay
+    # ends mid-corpus-time, so the tail windows never finalize).
+    # Per-key counts are monotone across emissions, so last-wins
+    # compaction is max(n) — the s4 discipline.
+    raw = run_available_now(
+        tumbling_counts_stream(stream), output_mode="update"
+    )
+    counts = raw.groupBy("window_start", "event_type").agg(
+        F.max("n").alias("n")
+    )
+    ref = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    ref_tot = ref.agg(F.sum("n_ref").alias("ref_total"))
+    ref_p = ref.crossJoin(F.broadcast(ref_tot)).select(
+        "event_type",
+        (F.col("n_ref").cast("double") / F.col("ref_total")).alias("p_ref"),
+    )
+    from pyspark.sql import Window
+
+    # window totals via a per-window frame — no self-join against the
+    # memory-sink view (which trips conflicting-reference resolution),
+    # and each window's partition is |types|-sized, never corpus-sized
+    w_win = Window.partitionBy("window_start")
+    counts = counts.withColumn("window_total", F.sum("n").over(w_win))
+    p_w = F.col("n").cast("double") / F.col("window_total")
+    # PSI contributions are non-negative ((p-q) and ln(p/q) share
+    # sign), so fixed-point int64 quantization sums EXACTLY in any
+    # reduce order — the IVF_FP_SCALE discipline; a round(6)-then-sum
+    # variant measurably split a window at the round(4) boundary
+    contrib = F.floor(
+        (p_w - F.col("p_ref")) * F.log(p_w / F.col("p_ref")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    # no final ROUND: the int64 sum is exact, and long/1e6 is one
+    # IEEE division — bit-identical in both engines, whereas a
+    # decimal round of a quotient sitting on .XXXX5 splits between
+    # Spark's HALF_UP-on-toString and C's nearest-double rounding
+    psi = F.sum("contrib") / F.lit(1000000.0)
+    level = (
+        F.when(F.col("psi") >= 0.25, "major")
+        .when(F.col("psi") >= 0.1, "moderate")
+        .otherwise("stable")
+    )
+    return (
+        counts.join(F.broadcast(ref_p), "event_type")
+        .select("window_start", "window_total", contrib.alias("contrib"))
+        .groupBy("window_start", "window_total")
+        .agg(psi.alias("psi"))
+        .select(
+            "window_start",
+            F.col("window_total").alias("n_events"),
+            "psi",
+            level.alias("drift_level"),
+        )
+    )

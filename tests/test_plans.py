@@ -39,6 +39,7 @@ BNLJ_OK_BOUNDED = {
     "l79_corpus_diversity",  # 1-row broadcast corpus count onto the overall row
     "l80_perplexity_buckets",  # l20's 1-row corpus-total + rank boundary rows
     "l81_unimax_budget",  # 1-row budget/water-level scalars onto ≤|langs| rows
+    "s14_drift_monitor",  # 1-row reference-total onto the |types| profile
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the

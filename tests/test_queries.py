@@ -2943,3 +2943,70 @@ def test_l82_outlier_flagged_and_z_normalized(spark, tmp_path):
                 assert r["action"] == "prune_outlier"
             else:
                 assert r["action"] == "keep"
+
+
+def test_l83_fertility_hand_computed(spark, tmp_path):
+    """Per-language fertility must equal hand-computed token ratios on
+    a corpus with known whitespace/regex token splits."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        l83_tokenizer_fertility,
+    )
+
+    rows = [
+        # "ab cd" -> 2 ws tokens, 2 regex tokens, 5 chars
+        (0, "ab cd", "en", "web", 0),
+        # "a-b c1d" -> 2 ws tokens, regex: a,-,b,c,1,d = 6 tokens, 7 chars
+        (1, "a-b c1d", "en", "web", 0),
+        # "x!" -> 1 ws token, regex: x,! = 2, 2 chars
+        (2, "x!", "de", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r for r in
+           l83_tokenizer_fertility(spark, str(tmp_path)).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["ws_tokens"], en["re_tokens"]) == (2, 4, 8)
+    assert en["fertility"] == 2.0
+    assert en["chars_per_token"] == round((5 + 7) / 8, 4)
+    de = got["de"]
+    assert (de["ws_tokens"], de["re_tokens"]) == (1, 2)
+    assert de["fertility"] == 2.0
+
+
+def test_l84_triplets_follow_run_and_relevance(spark, sf_dir):
+    """Every triplet must be explainable from the BM25 run: positive =
+    best-ranked same-source hit, negatives = top-ranked other-source
+    hits in run order, margin = pos score - neg score; queries with no
+    positive in the top-K must emit nothing."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    run = {}
+    for r in lp.l56_bm25_retrieval(spark, sf_dir).collect():
+        run.setdefault(r["query_id"], []).append(r)
+    src = {
+        r["doc_id"]: r["source"]
+        for r in lp.load(spark, sf_dir, "documents")
+        .select("doc_id", "source").collect()
+    }
+
+    expected = []
+    for qid, rows in run.items():
+        rows.sort(key=lambda r: r["rnk"])
+        pos = [r for r in rows if src[r["doc_id"]] == src[qid]]
+        neg = [r for r in rows if src[r["doc_id"]] != src[qid]]
+        if not pos:
+            continue
+        p = pos[0]
+        for n in neg[: lp.L84_NEG_K]:
+            expected.append(
+                (qid, p["doc_id"], n["doc_id"], p["rnk"], n["rnk"],
+                 round(p["score"] - n["score"], 4))
+            )
+
+    got = sorted(
+        map(tuple, lp.l84_hard_negative_mining(spark, sf_dir).collect())
+    )
+    assert got == sorted(expected)
+    assert got, "fixture corpus yields at least one triplet"

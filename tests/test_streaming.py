@@ -942,3 +942,59 @@ def test_s13_streaming_ivf_matches_batch_assignment(spark, sf_dir):
     one = runners.ivf_ingest_run(spark, sf_dir, n_batches=1)
     got1 = {r["vec_id"]: r["cell"] for r in one.collect()}
     assert got1 == batch
+
+
+def test_s14_drift_psi_matches_batch_and_is_sound(spark, sf_dir):
+    """The streaming drift monitor must equal the batch PSI computed
+    directly from the events table (replay admits no late drops), PSI
+    must be non-negative everywhere (each (p-q)·ln(p/q) term is), and
+    the drift fences must follow the psi value exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.tables import load
+
+    got = runners.drift_monitor_run(spark, sf_dir).collect()
+    assert got, "corpus spans multiple hourly windows"
+
+    events = load(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ref: dict = {}
+    for r in counts:
+        ref[r["event_type"]] = ref.get(r["event_type"], 0) + r["n"]
+    ref_total = sum(ref.values())
+
+    import math
+
+    by_window: dict = {}
+    for r in counts:
+        by_window.setdefault(r["window_start"], []).append(r)
+    expected = {}
+    for wstart, rows in by_window.items():
+        total = sum(r["n"] for r in rows)
+        fp = 0
+        for r in rows:
+            p = r["n"] / total
+            q = ref[r["event_type"]] / ref_total
+            fp += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+        expected[wstart] = (total, fp / 1e6)
+
+    assert len(got) == len(expected)
+    for r in got:
+        total, psi = expected[r["window_start"]]
+        assert r["n_events"] == total
+        assert r["psi"] == psi  # exact: int64 fixed-point both sides
+        assert r["psi"] >= 0.0
+        want_level = (
+            "major" if psi >= 0.25 else
+            "moderate" if psi >= 0.1 else "stable"
+        )
+        assert r["drift_level"] == want_level
