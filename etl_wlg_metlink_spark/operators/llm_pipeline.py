@@ -9344,3 +9344,190 @@ ORACLE["l84_hard_negative_mining"] = f"""
 ORACLE["l84_hard_negative_mining"] = ORACLE[
     "l84_hard_negative_mining"
 ].replace("{L56_SQL}", ORACLE["l56_bm25_retrieval"])
+
+
+# --------------------------------------------------------------------------
+# l85: Z-order layout manifest (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+
+L85_SKIP_PREDICATE_CHARS = 512  # the demo predicate: n_chars >= 512
+
+
+def l85_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering manifest — the file-layout step that makes
+    100 TB scans prunable on MORE than one dimension: interleave the
+    bits of a length bucket (4 bits, n_chars/64 capped at 15) and a
+    language hash bucket (4 bits) into one Morton key, group the
+    corpus by the key (one row ≈ one target file), and emit each
+    bucket's min-max zone map plus whether the demo predicate
+    (n_chars >= 512) could SKIP the bucket entirely (max below the
+    threshold). Sorting by a single dimension makes the other
+    dimension's zone maps useless; Morton interleaving keeps BOTH
+    dims' min-max ranges tight, which is the whole point
+    (Delta/Iceberg OPTIMIZE ZORDER does exactly this before writing).
+
+    Everything is integer arithmetic — bucket ids, the arithmetic bit
+    interleave ((a div 2^i) mod 2, identical in any engine), counts
+    and the id checksum — so no float discipline is needed; the
+    layout is one hash-agg, map-side combinable."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.least(F.lit(15), F.expr("n_chars div 64"))  # length bucket
+    b = _md5_int60(F.col("lang")) % 16  # language bucket
+    z = sum(
+        (
+            F.expr(f"(_a div {1 << i}) % 2") * (1 << (2 * i + 1))
+            + F.expr(f"(_b div {1 << i}) % 2") * (1 << (2 * i))
+        )
+        for i in range(4)
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", a.alias("_a"), b.alias("_b")
+        )
+        .select("doc_id", "lang", "n_chars", z.cast("int").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+        )
+        .withColumn(
+            "skippable",
+            F.col("max_chars") < L85_SKIP_PREDICATE_CHARS,
+        )
+    )
+
+
+QUERIES["l85_zorder_layout"] = l85_zorder_layout
+
+_L85_Z_SQL = " + ".join(
+    f"((a // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    f" + ((b // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(4)
+)
+
+ORACLE["l85_zorder_layout"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             least(15, n_chars // 64) AS a,
+             {_duck_md5_int60("lang")} % 16 AS b
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST({_L85_Z_SQL} AS INT) AS zbucket
+      FROM base
+    )
+    SELECT zbucket, COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           MAX(n_chars) < {L85_SKIP_PREDICATE_CHARS} AS skippable
+    FROM keyed GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# l86: bigram-LM scoring (conditional perplexity)
+# --------------------------------------------------------------------------
+
+L86_HOT_K = 16  # hot bigrams broadcast; cold tail shuffles (l20's split)
+
+
+def l86_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring — the conditional upgrade of l20's unigram
+    filter: p(w | prev) = c(prev w) / c(prev ·) from corpus bigram
+    counts, each document scored by the mean log2 conditional
+    probability of its adjacent-token pairs. Repetitive/templated text
+    scores high (its transitions are predictable), diverse text lower;
+    the classic next-step after unigram perplexity in corpus QC.
+    Documents with fewer than two tokens have no transitions and emit
+    nothing (no bigram support), the standard convention.
+
+    Scale shape mirrors l20 exactly: the bigram relation is built
+    map-side (one transform over the token array, no window / no
+    self-join), counts are one hash-agg; the fitted LM is NOT
+    broadcast whole — the L86_HOT_K most frequent bigrams broadcast
+    (the skewed head keys never shuffle) and only the rare cold-tail
+    pairs take a shuffle join. The split is pure execution strategy:
+    results are independent of L86_HOT_K (the oracle runs unsplit
+    SQL)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        _words(F.col("text")).alias("ws"),
+    ).select(
+        "doc_id",
+        F.explode(
+            # guard: Spark's sequence(1, 0) counts DOWN, so a 1-token
+            # doc would index element_at(ws, 0) — emit no pairs instead
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = pairs.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctx_counts = bg_counts.select(
+        F.substring_index(F.col("bg"), " ", 1).alias("prev"), "c_bg"
+    ).groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
+    lm = (
+        bg_counts.withColumn(
+            "prev", F.substring_index(F.col("bg"), " ", 1)
+        )
+        .join(ctx_counts, "prev")
+        .select(
+            "bg",
+            "c_bg",
+            F.log2(F.col("c_bg") / F.col("c_ctx")).alias("logp"),
+        )
+    )
+    hot = (
+        lm.orderBy(F.col("c_bg").desc(), "bg")
+        .limit(L86_HOT_K)
+        .select("bg", "logp")
+    )
+    cold = lm.join(hot.select("bg"), "bg", "left_anti").select("bg", "logp")
+    hot_scored = pairs.join(F.broadcast(hot), "bg").select("doc_id", "logp")
+    cold_scored = pairs.join(cold, "bg").select("doc_id", "logp")
+    return (
+        hot_scored.unionByName(cold_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("mean_log2p"),
+        )
+    )
+
+
+QUERIES["l86_bigram_logprob"] = l86_bigram_logprob
+
+ORACLE["l86_bigram_logprob"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM t WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS c_bg FROM pairs GROUP BY 1),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS prev, SUM(c_bg) AS c_ctx
+      FROM bgc GROUP BY 1
+    ),
+    lm AS (
+      SELECT bg, log2(c_bg::DOUBLE / c_ctx) AS logp
+      FROM bgc JOIN ctx ON string_split(bg, ' ')[1] = ctx.prev
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS mean_log2p
+    FROM pairs JOIN lm USING (bg)
+    GROUP BY doc_id
+"""

@@ -221,6 +221,8 @@ _ORDER = (
     "l82_prototype_prune",
     "l83_tokenizer_fertility",
     "l84_hard_negative_mining",
+    "l85_zorder_layout",
+    "l86_bigram_logprob",
     "s14_drift_monitor",
 )
 

@@ -3010,3 +3010,86 @@ def test_l84_triplets_follow_run_and_relevance(spark, sf_dir):
     )
     assert got == sorted(expected)
     assert got, "fixture corpus yields at least one triplet"
+
+
+def test_l85_zorder_interleave_and_zone_maps(spark, tmp_path):
+    """The Morton key must be the exact bit interleave of the two
+    bucket ids, zone maps must bound their bucket's rows, and the
+    skip flag must follow max_chars; a z-ordered layout must make the
+    demo predicate skip at least one bucket on a bimodal corpus."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = []
+    for i in range(40):
+        n_chars = 40 if i % 2 == 0 else 1200  # bimodal lengths
+        lang = ["en", "de", "es", "zh"][i % 4]
+        rows.append((i, "t", lang, "web", n_chars))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = lp.l85_zorder_layout(spark, str(tmp_path)).collect()
+
+    def interleave(a, b):
+        return sum(
+            (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))
+            for i in range(4)
+        )
+
+    import hashlib
+
+    def lang_bucket(lang):
+        h = int(hashlib.md5(lang.encode()).hexdigest()[:15], 16)
+        return h % 16
+
+    expected_keys = set()
+    for doc_id, _, lang, _, n_chars in rows:
+        expected_keys.add(interleave(min(15, n_chars // 64), lang_bucket(lang)))
+    assert {r["zbucket"] for r in got} == expected_keys
+
+    assert any(r["skippable"] for r in got), "short buckets must skip"
+    assert any(not r["skippable"] for r in got)
+    for r in got:
+        assert r["min_chars"] <= r["max_chars"]
+        assert r["skippable"] == (r["max_chars"] < lp.L85_SKIP_PREDICATE_CHARS)
+        # a bucket mixes at most ... every row shares the bucket's dims
+        assert r["n_langs"] >= 1
+    assert sum(r["n_docs"] for r in got) == 40
+
+
+def test_l86_bigram_scores_hand_computed_and_split_invariant(
+    spark, tmp_path, monkeypatch
+):
+    """Bigram conditional log-probs must match a hand-computed LM on a
+    tiny corpus; 1-token docs emit nothing; the hot/cold split must
+    not change results for ANY hot-K."""
+    import math
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (0, "a b a b", "en", "web", 0),   # bigrams: ab, ba, ab
+        (1, "a b c", "en", "web", 0),     # ab, bc
+        (2, "solo", "en", "web", 0),      # no bigrams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    results = {}
+    for k in (0, 2, 100):
+        monkeypatch.setattr(lp, "L86_HOT_K", k)
+        got = sorted(
+            map(tuple, lp.l86_bigram_logprob(spark, str(tmp_path)).collect())
+        )
+        results[k] = got
+    assert results[0] == results[2] == results[100]
+
+    got = {r[0]: r for r in results[100]}
+    assert 2 not in got  # no transitions
+    # corpus bigrams: a->b x3, b->a x1, b->c x1 ; contexts: a:3, b:2
+    p_ab, p_ba, p_bc = 1.0, 1 / 2, 1 / 2
+    exp0 = round((2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)
+    exp1 = round((math.log2(p_ab) + math.log2(p_bc)) / 2, 4)
+    assert got[0][1:] == (3, exp0)
+    assert got[1][1:] == (2, exp1)
