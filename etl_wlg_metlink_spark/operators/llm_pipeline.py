@@ -9531,3 +9531,380 @@ ORACLE["l86_bigram_logprob"] = """
     FROM pairs JOIN lm USING (bg)
     GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# l87: PMI collocation mining
+# --------------------------------------------------------------------------
+
+L87_MIN_COUNT = 5    # rare-pair floor: PMI on tiny counts is noise
+L87_PMI_BITS = 1     # "collocated" = pair carries >= 1 bit of association
+
+
+def l87_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    word pairs — the classic phrase-detection / tokenizer-merge-
+    candidate pass (Church & Hanks 1990; word2vec's phrase step):
+    pmi(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) ) with the joint from
+    bigram counts and the marginals from token counts. Pairs below
+    L87_MIN_COUNT are dropped (PMI explodes on hapax pairs); the
+    `collocated` flag marks pairs carrying >= L87_PMI_BITS bits of
+    association. The flag is decided in EXACT integer arithmetic —
+    pmi >= T  <=>  c_bg·n_tok² >= 2^T·n_bg·c_w1·c_w2 — in decimal(38)
+    (Spark) / HUGEINT (DuckDB), so the boolean is bit-exact across
+    engines while the reported pmi double is informational (the
+    38-digit headroom covers ~1e12-token corpora; past that the flag
+    would move to log-space with an epsilon band). On the synthetic
+    iid corpus every pair is honestly non-collocated (pmi ≈ 0); the
+    unit test plants a real collocation.
+
+    Scale shape: bigram and unigram counts are map-side expands into
+    hash-aggs (partial-agg combines upstream of one shuffle each).
+    The marginal join broadcasts the unigram relation — vocabulary
+    obeys Heaps' law (≲ millions of rows at 100 TB, tens of MB), and
+    broadcasting it also dissolves the stopword-key skew a shuffle
+    join on words would suffer. The 1-row totals broadcast is the
+    sanctioned bounded BNLJ (test_plans BNLJ_OK_BOUNDED)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(_words(F.col("text")).alias("ws"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> named_struct('w1', element_at(ws, i), "
+                "'w2', element_at(ws, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+        .where(F.col("c_bg") >= L87_MIN_COUNT)
+    )
+    uni = (
+        base.select(F.explode(F.col("ws")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    totals = base.agg(
+        F.sum(F.greatest(F.size(F.col("ws")) - 1, F.lit(0))).alias("n_bg"),
+        F.sum(F.size(F.col("ws"))).alias("n_tok"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    res = (
+        bgc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log2(
+        (F.col("c_bg") / F.col("n_bg"))
+        / ((F.col("c_w1") / F.col("n_tok")) * (F.col("c_w2") / F.col("n_tok")))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = dec("c_bg") * dec("n_tok") * dec("n_tok")
+    rhs = (
+        F.lit(2 ** L87_PMI_BITS).cast("decimal(38,0)")
+        * dec("n_bg") * dec("c_w1") * dec("c_w2")
+    )
+    return res.select(
+        "w1", "w2", "c_bg", "c_w1", "c_w2",
+        F.round(pmi, 4).alias("pmi_bits"),
+        (lhs >= rhs).alias("collocated"),
+    )
+
+
+QUERIES["l87_pmi_collocations"] = l87_pmi_collocations
+
+ORACLE["l87_pmi_collocations"] = f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    tot AS (
+      SELECT SUM(greatest(len(ws) - 1, 0)) AS n_bg,
+             SUM(len(ws)) AS n_tok
+      FROM t
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM t WHERE len(ws) >= 2
+    ),
+    bgc AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM pairs GROUP BY 1, 2
+      HAVING COUNT(*) >= {L87_MIN_COUNT}
+    ),
+    unic AS (
+      SELECT w, COUNT(*) AS c_w
+      FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1
+    )
+    SELECT w1, w2, c_bg, u1.c_w AS c_w1, u2.c_w AS c_w2,
+           ROUND(log2((c_bg::DOUBLE / n_bg)
+             / ((u1.c_w::DOUBLE / n_tok) * (u2.c_w::DOUBLE / n_tok))),
+             4) AS pmi_bits,
+           c_bg::HUGEINT * n_tok * n_tok
+             >= {2 ** L87_PMI_BITS}::HUGEINT * n_bg * u1.c_w * u2.c_w
+             AS collocated
+    FROM bgc
+    JOIN unic u1 ON bgc.w1 = u1.w
+    JOIN unic u2 ON bgc.w2 = u2.w, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# l88: Kneser-Ney-smoothed bigram scoring
+# --------------------------------------------------------------------------
+
+L88_HOT_K = 16  # l86's hot/cold split: head bigrams broadcast
+
+
+def l88_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing used by
+    the KenLM-style perplexity filters in CCNet/CC-cleaning pipelines,
+    one order up from l86's MLE bigrams:
+
+        p_kn(w|prev) = (c(prev,w) - D)/c(prev·)
+                       + D·N1+(prev,·)/c(prev·) · N1+(·,w)/N1+(·,·)
+
+    with absolute discount D = 0.75 (exactly representable, so both
+    engines compute identical doubles) and the continuation
+    probability from distinct-context counts, the Kneser-Ney insight:
+    'how many contexts does w complete' rather than 'how often does w
+    occur'. Every document is scored by the mean log2 p_kn of its
+    transitions; <2-token docs emit nothing (no transitions). The LM
+    is trained on the scored corpus itself so no bigram is unseen,
+    but the smoothed score still differs from MLE everywhere — which
+    is what the hand-computed unit test pins.
+
+    Scale shape: the LM is four hash-aggs over the bigram-TYPE
+    relation (≪ corpus bigram instances); scoring is one join of the
+    instance stream against the LM, split l86-style — the L88_HOT_K
+    most frequent bigrams broadcast so the skewed head never
+    shuffles, the cold tail takes the shuffle join. Results are
+    independent of L88_HOT_K (pure execution strategy; the oracle
+    runs unsplit SQL). The 1-row type-count broadcast is the
+    sanctioned bounded BNLJ."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> named_struct('prev', element_at(ws, i), "
+                "'w', element_at(ws, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.w")
+    bgc = pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
+    ctx = bgc.groupBy("prev").agg(
+        F.sum("c_bg").alias("c_ctx"), F.count("*").alias("n1p_prev")
+    )
+    cont = bgc.groupBy("w").agg(F.count("*").alias("n1p_w"))
+    types = bgc.agg(F.count("*").alias("n_types"))
+    logp = F.log2(
+        ((F.col("c_bg") - F.lit(0.75)) / F.col("c_ctx"))
+        + ((F.lit(0.75) * F.col("n1p_prev")) / F.col("c_ctx"))
+        * (F.col("n1p_w") / F.col("n_types"))
+    )
+    lm = (
+        bgc.join(ctx, "prev")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(types))
+        .select("prev", "w", "c_bg", logp.alias("logp"))
+    )
+    hot = (
+        lm.orderBy(F.col("c_bg").desc(), "prev", "w")
+        .limit(L88_HOT_K)
+        .select("prev", "w", "logp")
+    )
+    cold = lm.join(hot.select("prev", "w"), ["prev", "w"], "left_anti").select(
+        "prev", "w", "logp"
+    )
+    hot_scored = pairs.join(F.broadcast(hot), ["prev", "w"]).select(
+        "doc_id", "logp"
+    )
+    cold_scored = pairs.join(cold, ["prev", "w"]).select("doc_id", "logp")
+    return (
+        hot_scored.unionByName(cold_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("mean_log2_pkn"),
+        )
+    )
+
+
+QUERIES["l88_kneser_ney_bigram"] = l88_kneser_ney_bigram
+
+ORACLE["l88_kneser_ney_bigram"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS prev,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w
+      FROM t WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT prev, w, COUNT(*) AS c_bg FROM pairs GROUP BY 1, 2),
+    ctx AS (
+      SELECT prev, SUM(c_bg) AS c_ctx, COUNT(*) AS n1p_prev
+      FROM bgc GROUP BY 1
+    ),
+    cont AS (SELECT w, COUNT(*) AS n1p_w FROM bgc GROUP BY 1),
+    ty AS (SELECT COUNT(*) AS n_types FROM bgc),
+    lm AS (
+      SELECT prev, w,
+             log2(((c_bg - 0.75) / c_ctx)
+               + ((0.75 * n1p_prev) / c_ctx)
+               * (n1p_w::DOUBLE / n_types)) AS logp
+      FROM bgc JOIN ctx USING (prev) JOIN cont USING (w), ty
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS mean_log2_pkn
+    FROM pairs JOIN lm USING (prev, w)
+    GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# l89: temperature-scaled domain mixing
+# --------------------------------------------------------------------------
+
+def l89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the
+    alpha-sampling of mBERT/XLM-R/mT5, the smooth sibling of l81's
+    budget-capped UniMax): each language's sampling share is
+    p_l^alpha / sum(p^alpha). alpha is fixed at 1/2 so the
+    exponentiation is sqrt — IEEE-754 sqrt is CORRECTLY ROUNDED in
+    both engines (unlike pow(x, 0.3), which is implementation-
+    defined), so the per-language doubles agree bit-for-bit and only
+    the |langs|-sized sum carries the usual summation-order ulp.
+    `boosted` marks languages whose temperature share exceeds their
+    proportional share (low-resource languages, by construction of
+    any concave temperature).
+
+    Scale shape: identical to l81 — the corpus pass is one
+    map+combine token-count agg; everything downstream operates on
+    the bounded language dimension, with the 1-row totals broadcast
+    the sanctioned bounded BNLJ."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(F.col("text")))).alias("n_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("s_total"),
+    )
+    joined = per_lang.crossJoin(F.broadcast(totals))
+    prop = F.col("n_tokens") / F.col("t_total")
+    temp = F.sqrt(F.col("n_tokens")) / F.col("s_total")
+    epochs = (temp * F.col("t_total")) / F.col("n_tokens")
+    return joined.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(prop, 4).alias("prop_share"),
+        F.round(temp, 4).alias("temp_share"),
+        F.round(epochs, 4).alias("epochs"),
+        (temp > prop).alias("boosted"),
+    )
+
+
+QUERIES["l89_temperature_mix"] = l89_temperature_mix
+
+ORACLE["l89_temperature_mix"] = """
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS t_total,
+             SUM(sqrt(n_tokens)) AS s_total
+      FROM per_lang
+    )
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens::DOUBLE / t_total, 4) AS prop_share,
+           ROUND(sqrt(n_tokens) / s_total, 4) AS temp_share,
+           ROUND((sqrt(n_tokens) / s_total) * t_total / n_tokens, 4)
+             AS epochs,
+           sqrt(n_tokens) / s_total > n_tokens::DOUBLE / t_total AS boosted
+    FROM per_lang, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# l90: takedown propagation (opt-out / right-to-be-forgotten)
+# --------------------------------------------------------------------------
+
+L90_TAKEDOWN_MOD = 101  # synthetic manifest: ~1% of doc_ids are seeds
+
+
+def l90_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation — the governance pass every training-data
+    pipeline needs: a removal request names a document, but honoring
+    it means removing every EXACT COPY of that content too (the same
+    text crawled from mirrors carries different doc_ids). Seeds come
+    from a synthetic manifest (md5-derived ~1% of doc_ids, portable
+    across engines); removal propagates through l4's canonical
+    bag-of-words fingerprint, so the output manifest lists each
+    removed doc with `is_seed` false for collateral copies and the
+    size of its duplicate group.
+
+    Scale shape: the seed predicate and fingerprint are map-side; the
+    distinct fingerprints of seeds form a manifest-sized relation
+    (~1% of docs, and takedown manifests are small by nature) that
+    BROADCASTS as a semi-filter against the corpus — no corpus-sized
+    shuffle. Only the matched rows (the removed set) take the window
+    shuffle for group sizes. At a real 100 TB run the manifest is an
+    external table on the same path."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+    is_seed = (
+        _md5_int60(
+            F.concat(F.lit("takedown|"), F.col("doc_id").cast("string"))
+        )
+        % L90_TAKEDOWN_MOD
+        == 0
+    )
+    base = docs.select(
+        "doc_id", "source", fp.alias("fp"), is_seed.alias("is_seed")
+    )
+    seed_fps = base.where(F.col("is_seed")).select("fp").distinct()
+    removed = base.join(F.broadcast(seed_fps), "fp")
+    w = Window.partitionBy("fp")
+    return removed.select(
+        "doc_id",
+        "source",
+        "fp",
+        "is_seed",
+        F.count("*").over(w).alias("n_group"),
+    )
+
+
+QUERIES["l90_takedown_propagation"] = l90_takedown_propagation
+
+ORACLE["l90_takedown_propagation"] = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp,
+             {_duck_md5_int60("'takedown|' || CAST(doc_id AS VARCHAR)")}
+               % {L90_TAKEDOWN_MOD} = 0 AS is_seed
+      FROM documents
+    ),
+    seedfp AS (SELECT DISTINCT fp FROM base WHERE is_seed),
+    removed AS (SELECT b.* FROM base b JOIN seedfp USING (fp))
+    SELECT doc_id, source, fp, is_seed,
+           COUNT(*) OVER (PARTITION BY fp) AS n_group
+    FROM removed
+"""

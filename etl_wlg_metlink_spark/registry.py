@@ -224,6 +224,10 @@ _ORDER = (
     "l85_zorder_layout",
     "l86_bigram_logprob",
     "s14_drift_monitor",
+    "l87_pmi_collocations",
+    "l88_kneser_ney_bigram",
+    "l89_temperature_mix",
+    "l90_takedown_propagation",
 )
 
 

@@ -40,6 +40,9 @@ BNLJ_OK_BOUNDED = {
     "l80_perplexity_buckets",  # l20's 1-row corpus-total + rank boundary rows
     "l81_unimax_budget",  # 1-row budget/water-level scalars onto ≤|langs| rows
     "s14_drift_monitor",  # 1-row reference-total onto the |types| profile
+    "l87_pmi_collocations",  # 1-row (n_bg, n_tok) totals onto frequent pairs
+    "l88_kneser_ney_bigram",  # 1-row bigram-type count onto the LM relation
+    "l89_temperature_mix",  # 1-row totals onto ≤|langs| rows (l81's shape)
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the

@@ -3093,3 +3093,168 @@ def test_l86_bigram_scores_hand_computed_and_split_invariant(
     exp1 = round((math.log2(p_ab) + math.log2(p_bc)) / 2, 4)
     assert got[0][1:] == (3, exp0)
     assert got[1][1:] == (2, exp1)
+
+
+def test_l87_pmi_hand_computed_collocation_and_floor(spark, tmp_path, monkeypatch):
+    """PMI must match a hand computation on a planted corpus: a true
+    collocation ('new york' — the pair always co-occurs) must flag
+    collocated; an anti-associated frequent pair must not; pairs under
+    the min-count floor must not appear at all."""
+    import math
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "L87_MIN_COUNT", 2)
+    # 4 docs of "new york", so 'new' only ever precedes 'york';
+    # c and d are frequent but adjacent only 2/17 bigrams — near
+    # their chance rate (8/26)², so (c,d) is NOT collocated;
+    # "p q" appears once -> under the floor.
+    rows = [
+        (0, "new york", "en", "web", 0),
+        (1, "new york", "en", "web", 0),
+        (2, "new york", "en", "web", 0),
+        (3, "new york", "en", "web", 0),
+        (4, "c c c c c c", "en", "web", 0),
+        (5, "d d d d d d", "en", "web", 0),
+        (6, "c d", "en", "web", 0),
+        (7, "c d", "en", "web", 0),
+        (8, "p q", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in lp.l87_pmi_collocations(spark, str(tmp_path)).collect()
+    }
+    assert ("p", "q") not in got  # c_bg = 1 < floor
+
+    # corpus: n_tok = 8 + 6 + 6 + 4 + 2 = 26; n_bg = 4 + 5 + 5 + 2 + 1 = 17
+    n_tok, n_bg = 26, 17
+    ny = got[("new", "york")]
+    assert (ny["c_bg"], ny["c_w1"], ny["c_w2"]) == (4, 4, 4)
+    exp = math.log2((4 / n_bg) / ((4 / n_tok) * (4 / n_tok)))
+    assert ny["pmi_bits"] == round(exp, 4)
+    assert ny["collocated"]  # ~3.3 bits
+
+    cd = got[("c", "d")]
+    assert (cd["c_bg"], cd["c_w1"], cd["c_w2"]) == (2, 8, 8)
+    exp_cd = math.log2((2 / n_bg) / ((8 / n_tok) * (8 / n_tok)))
+    assert cd["pmi_bits"] == round(exp_cd, 4)
+    assert not cd["collocated"]  # ~0.31 bits < 1-bit threshold
+
+    # the exact-integer flag agrees with the float PMI on every pair
+    for r in got.values():
+        assert r["collocated"] == (
+            r["c_bg"] * n_tok * n_tok >= 2 * n_bg * r["c_w1"] * r["c_w2"]
+        )
+
+
+def test_l88_kneser_ney_hand_computed_and_split_invariant(
+    spark, tmp_path, monkeypatch
+):
+    """KN-smoothed scores must match a hand computation (discount,
+    backoff mass and continuation counts all exercised); 1-token docs
+    emit nothing; results must be invariant to the hot-K split."""
+    import math
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (0, "a b a b", "en", "web", 0),   # bigrams: ab, ba, ab
+        (1, "a b c", "en", "web", 0),     # ab, bc
+        (2, "solo", "en", "web", 0),      # none
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    results = {}
+    for k in (0, 1, 100):
+        monkeypatch.setattr(lp, "L88_HOT_K", k)
+        results[k] = sorted(
+            map(tuple, lp.l88_kneser_ney_bigram(spark, str(tmp_path)).collect())
+        )
+    assert results[0] == results[1] == results[100]
+
+    # bigram types: (a,b) c=3, (b,a) c=1, (b,c) c=1
+    # contexts: a: c_ctx=3 n1p=1 ; b: c_ctx=2 n1p=2
+    # continuation: a<-{b}=1, b<-{a}=1, c<-{b}=1 ; total types = 3
+    D = 0.75
+    p_ab = ((3 - D) / 3) + ((D * 1) / 3) * (1 / 3)
+    p_ba = ((1 - D) / 2) + ((D * 2) / 2) * (1 / 3)
+    p_bc = ((1 - D) / 2) + ((D * 2) / 2) * (1 / 3)
+    got = {r[0]: r for r in results[100]}
+    assert 2 not in got
+    exp0 = round((2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)
+    exp1 = round((math.log2(p_ab) + math.log2(p_bc)) / 2, 4)
+    assert got[0][1:] == (3, exp0)
+    assert got[1][1:] == (2, exp1)
+    # smoothing must actually differ from MLE (p_ab < 1 despite a->b
+    # being a's only continuation in 3/3 bigrams... c(a,b)/c(a) = 1)
+    assert p_ab < 1.0
+
+
+def test_l89_temperature_mix_sqrt_weights(spark, tmp_path):
+    """alpha=1/2 weights on a 100/400-token corpus: shares 1/3 vs 2/3,
+    low-resource language boosted above its proportional share."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (0, " ".join(["w"] * 100), "mi", "web", 0),
+        (1, " ".join(["w"] * 400), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r for r in
+           lp.l89_temperature_mix(spark, str(tmp_path)).collect()}
+    mi, en = got["mi"], got["en"]
+    assert (mi["n_tokens"], en["n_tokens"]) == (100, 400)
+    assert mi["prop_share"] == 0.2 and en["prop_share"] == 0.8
+    # sqrt: 10 vs 20 -> temp shares 1/3, 2/3
+    assert mi["temp_share"] == round(1 / 3, 4)
+    assert en["temp_share"] == round(2 / 3, 4)
+    # epochs: (1/3)*500/100 = 5/3 ; (2/3)*500/400 = 5/6
+    assert mi["epochs"] == round(5 / 3, 4)
+    assert en["epochs"] == round(5 / 6, 4)
+    assert mi["boosted"] and not en["boosted"]
+
+
+def test_l90_takedown_propagates_to_exact_copies_only(spark, tmp_path):
+    """A takedown seed must remove itself AND every doc sharing its
+    bag fingerprint (different doc_id, shuffled words), flagged as
+    collateral; unrelated duplicate groups must be untouched."""
+    import hashlib
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    def is_seed(doc_id: int) -> bool:
+        h = int(
+            hashlib.md5(f"takedown|{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        return h % lp.L90_TAKEDOWN_MOD == 0
+
+    seed_id = next(i for i in range(10_000) if is_seed(i))
+    clean = [i for i in range(10_000) if not is_seed(i)][:3]
+
+    rows = [
+        (seed_id, "alpha beta gamma", "en", "web", 0),
+        # same word BAG, different order/multiplicity -> same fingerprint
+        (clean[0], "gamma beta alpha alpha", "en", "mirror", 0),
+        # unrelated dup group, no seed -> survives
+        (clean[1], "delta epsilon", "en", "web", 0),
+        (clean[2], "delta epsilon", "en", "mirror", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           lp.l90_takedown_propagation(spark, str(tmp_path)).collect()}
+    assert set(got) == {seed_id, clean[0]}
+    assert got[seed_id]["is_seed"] and not got[clean[0]]["is_seed"]
+    assert got[seed_id]["n_group"] == got[clean[0]]["n_group"] == 2
+    assert got[seed_id]["fp"] == got[clean[0]]["fp"]
