@@ -9908,3 +9908,448 @@ ORACLE["l90_takedown_propagation"] = f"""
            COUNT(*) OVER (PARTITION BY fp) AS n_group
     FROM removed
 """
+
+
+# --------------------------------------------------------------------------
+# l91: MinHash sketch calibration
+# --------------------------------------------------------------------------
+
+def l91_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration audit — measures the estimator the dedup
+    lanes actually trust: for a MinHash family, P(slot agrees) equals
+    the true Jaccard, so the slot-agreement fraction is an unbiased
+    estimate. This lane takes l6's EXACT candidate stream (same
+    shingles, same 8 permutations, same 4-band LSH) and reports, per
+    agreement level k/8, how the estimate tracks the exact
+    shingle-set Jaccard: pair count, mean true Jaccard, mean |est −
+    true| and the true-Jaccard range. Read it before trusting a
+    verify-free threshold. Honest framing: the stream is CONDITIONED
+    ON LSH CANDIDACY (≥ one full band agrees, so k ≥ 2 and high-k
+    pairs are overrepresented) — which is precisely the population
+    the verify stage sees, the decision this calibration informs.
+
+    Scale shape: identical to l6 (one persisted hash-array diamond,
+    band-bucket self-join, pair-bounded verify) plus one 8-slot
+    zip_with per pair and a ≤9-group hash-agg — calibration adds ~no
+    data movement to the pipeline it audits."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
+        "doc_id", _shingles_ws(F.col("ws")).alias("sh")
+    )
+    hashed = base.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias(
+            "hs"
+        ),
+    )
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _banded_candidates(hashed, UH_PARAMS, N_BANDS)
+    sig = hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("hs"), _uh_perm(a, b)))
+                for a, b in UH_PARAMS
+            ]
+        ).alias("sig"),
+        F.array_distinct(F.col("hs")).alias("hset"),
+    )
+    si = sig.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("sig").alias("sig_i"),
+        F.col("hset").alias("hset_i"),
+    )
+    sj = sig.select(
+        F.col("doc_id").alias("doc_j"),
+        F.col("sig").alias("sig_j"),
+        F.col("hset").alias("hset_j"),
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_i", "sig_j", lambda a, b: a == b), lambda x: x
+        )
+    )
+    true_j = F.size(F.array_intersect("hset_i", "hset_j")) / F.size(
+        F.array_union("hset_i", "hset_j")
+    )
+    est_j = n_agree / F.lit(N_MINHASH)
+    scored = (
+        cand.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .select(
+            n_agree.alias("n_agree"),
+            est_j.alias("est"),
+            true_j.alias("tj"),
+        )
+    )
+    out = (
+        scored.groupBy("n_agree")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("tj"), 4).alias("mean_jaccard"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("tj"))), 4).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.min("tj"), 4).alias("min_jaccard"),
+            F.round(F.max("tj"), 4).alias("max_jaccard"),
+        )
+        .withColumn(
+            "est_jaccard", F.col("n_agree") / F.lit(N_MINHASH)
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    hashed.unpersist()
+    return out
+
+
+QUERIES["l91_minhash_calibration"] = l91_minhash_calibration
+
+ORACLE["l91_minhash_calibration"] = f"""
+    WITH {_DUCK_L6_CTES},
+    sigarr AS (
+      SELECT doc_id,
+             [{", ".join(f"mh{s}" for s in range(N_MINHASH))}] AS sig
+      FROM sig
+    ),
+    scored AS (
+      SELECT len(list_filter(
+               list_transform(range(1, {N_MINHASH} + 1),
+                 i -> a.sig[i] = b.sig[i]), x -> x)) AS n_agree,
+             len(list_intersect(x.hset, y.hset))::DOUBLE
+               / len(list_distinct(list_concat(x.hset, y.hset))) AS tj
+      FROM cand
+      JOIN sigarr a ON cand.doc_i = a.doc_id
+      JOIN sigarr b ON cand.doc_j = b.doc_id
+      JOIN hsets x ON cand.doc_i = x.doc_id
+      JOIN hsets y ON cand.doc_j = y.doc_id
+    )
+    SELECT n_agree, COUNT(*) AS n_pairs,
+           ROUND(AVG(tj), 4) AS mean_jaccard,
+           ROUND(AVG(abs(n_agree::DOUBLE / {N_MINHASH} - tj)), 4)
+             AS mean_abs_err,
+           ROUND(MIN(tj), 4) AS min_jaccard,
+           ROUND(MAX(tj), 4) AS max_jaccard,
+           n_agree::DOUBLE / {N_MINHASH} AS est_jaccard
+    FROM scored GROUP BY n_agree
+"""
+
+
+# --------------------------------------------------------------------------
+# l92: count-min sketch heavy-hitter audit
+# --------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # buckets per row
+L92_TOP_K = 20
+
+
+def l92_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan
+    2005): a d×w integer sketch answers frequency queries in O(d)
+    with ONE-SIDED error (est ≥ true, over by at most the collision
+    mass in the lightest row). The lane builds the 4×64 sketch,
+    queries it for the true top-{L92_TOP_K} tokens, and reports
+    est−true per token — the overcount a streaming frequency filter
+    would act on. Everything is INTEGER arithmetic on md5-derived
+    buckets, so both engines produce bit-identical sketches; the test
+    pins the one-sided guarantee and a planted collision.
+
+    Scale shape: the sketch is built from the unigram-count relation
+    (the corpus pass is the same map+combine token agg every l-lane
+    shares), exploded ×{CMS_D} and re-aggregated — the sketch itself
+    is a CONSTANT {CMS_D}×{CMS_W} = 256-row relation, broadcast to
+    score the top-K probes. In a live ingest the same sketch merges
+    map-side (each partition's d×w grid sums elementwise), which is
+    why CMS is the standard distributed heavy-hitter structure."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_D - 1))
+    )
+    bucket = (
+        _md5_int60(
+            F.concat(
+                F.lit("cms"),
+                F.col("r").cast("string"),
+                F.lit("|"),
+                F.col("w"),
+            )
+        )
+        % CMS_W
+    )
+    sketch = (
+        counts.select("w", "c", rows.alias("r"))
+        .select("r", bucket.alias("bkt"), "c")
+        .groupBy("r", "bkt")
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "w").limit(L92_TOP_K)
+    probes = top.select("w", "c", rows.alias("r")).select(
+        "w", "c", "r", bucket.alias("bkt")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bkt"])
+        .groupBy("w", "c")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            "w",
+            F.col("c").alias("true_count"),
+            F.col("est").alias("est_count"),
+            (F.col("est") - F.col("c")).alias("overcount"),
+        )
+    )
+
+
+QUERIES["l92_countmin_heavyhitters"] = l92_countmin_heavyhitters
+
+_DUCK_CMS_BUCKET = (
+    _duck_md5_int60("'cms' || CAST(r AS VARCHAR) || '|' || w")
+    + f" % {CMS_W}"
+)
+
+ORACLE["l92_countmin_heavyhitters"] = f"""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ),
+    expanded AS (
+      SELECT w, c, r.r, {_DUCK_CMS_BUCKET} AS bkt
+      FROM counts, (VALUES (0), (1), (2), (3)) AS r(r)
+    ),
+    sketch AS (
+      SELECT r, bkt, SUM(c) AS cell FROM expanded GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {L92_TOP_K}
+    ),
+    probes AS (
+      SELECT w, c, r.r, {_DUCK_CMS_BUCKET} AS bkt
+      FROM top, (VALUES (0), (1), (2), (3)) AS r(r)
+    )
+    SELECT w, c AS true_count,
+           CAST(MIN(cell) AS BIGINT) AS est_count,
+           CAST(MIN(cell) - c AS BIGINT) AS overcount
+    FROM probes JOIN sketch USING (r, bkt)
+    GROUP BY w, c
+"""
+
+
+# --------------------------------------------------------------------------
+# l93: BPE merge training (iterative, SQL-unrolled oracle)
+# --------------------------------------------------------------------------
+
+L93_ROUNDS = 3  # merge rounds; oracle unrolls the same count
+
+
+def _bpe_merge_round(vocab: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round over a (w, c, sym: array<string>) vocabulary:
+    pick the most frequent adjacent symbol pair (count desc, then
+    lexicographic — fully deterministic) and replace its occurrences
+    left-to-right non-overlapping in every word. Returns
+    (merged vocab, 1-row best-pair relation)."""
+    pairs = vocab.select(
+        "c",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(sym) >= 2 THEN "
+                "transform(sequence(1, size(sym) - 1), "
+                "i -> named_struct('a', element_at(sym, i), "
+                "'b', element_at(sym, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("p.a", "p.b", "c")
+    best = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(1)
+    )
+    with_best = vocab.crossJoin(F.broadcast(best))
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["prev"] == "",
+                F.struct(acc["out"].alias("out"), x.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == F.col("a")) & (x == F.col("b")),
+                F.struct(
+                    F.concat(
+                        acc["out"],
+                        F.array(F.concat(F.col("a"), F.col("b"))),
+                    ).alias("out"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    merged = with_best.select(
+        "w",
+        "c",
+        F.aggregate(F.col("sym"), zero, step, finish).alias("sym"),
+    )
+    return merged, best
+
+
+def l93_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING — the iterative step l48 only stages: per
+    round, find the corpus-wide most frequent adjacent symbol pair
+    (weighted by word frequency, deterministic (count desc, pair)
+    tie-break) and merge its occurrences left-to-right non-overlapping
+    in every word, exactly the Sennrich et al. 2016 trainer loop that
+    HuggingFace/SentencePiece BPE run on word-count tables. Emits one
+    row per round: the learned merge, its pair count, and the corpus
+    symbol total after applying it (the compression trajectory a
+    tokenizer-budget decision reads). The left-to-right fold means
+    'a a a' under merge (a,a) becomes '[aa, a]' — the standard
+    non-overlapping semantics, pinned by test.
+
+    The oracle unrolls the SAME {L93_ROUNDS} rounds in SQL (l22's
+    unrolled-iteration pattern) with the fold as a list_reduce, so the
+    full training loop — argmax, tie-break, merge fold — is
+    differentially checked, unlike typical iterative lanes.
+
+    Scale shape: l48's aggregate-then-explode ordering carried
+    through the whole loop — the corpus collapses ONCE into the
+    word-count vocabulary (the only data-volume shuffle; ~10^7 rows
+    at web scale), then every round is vocab-sized: a pair agg over a
+    charset²-bounded key space, a 1-row argmax, and a map-side fold.
+    The per-round 1-row best-pair broadcast is the sanctioned bounded
+    BNLJ. Round count is the fixed hyperparameter real trainers run
+    (30k rounds = 30k vocab-sized passes, embarrassingly scalable);
+    {L93_ROUNDS} here keeps the oracle unroll readable."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "w", "c", F.expr("regexp_extract_all(w, '.', 0)").alias("sym")
+        )
+    )
+    reports = []
+    for r in range(1, L93_ROUNDS + 1):
+        vocab, best = _bpe_merge_round(vocab)
+        after = vocab.agg(
+            F.sum(F.col("c") * F.size(F.col("sym"))).alias(
+                "corpus_symbols_after"
+            )
+        )
+        reports.append(
+            best.crossJoin(F.broadcast(after)).select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                "pair_count",
+                "corpus_symbols_after",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+QUERIES["l93_bpe_train"] = l93_bpe_train
+
+
+def _duck_bpe_round(i: int) -> str:
+    """CTE chain for round i: best{i} (argmax pair over v{i-1}) and
+    v{i} (the merged vocabulary). The left-to-right non-overlapping
+    merge is NOT a list_reduce fold — DuckDB 1.0 corrupts struct-
+    with-list accumulators (observed: the out field resets between
+    steps on multi-element lists) — but pure positional logic with
+    the identical semantics: all (a,b) match positions within a word
+    form runs of consecutive indices (only possible when a = b);
+    greedy left-to-right keeps the 1st, 3rd, ... of each run (for
+    a != b no two matches are adjacent, so every match is kept). Runs
+    group by the classic value-minus-index key; parity comes from the
+    ordinal within the group."""
+    prev, cur = f"v{i - 1}", f"v{i}"
+    return f"""
+    p{i} AS (
+      SELECT unnest(list_transform(range(1, len(sym)), k -> sym[k])) AS a,
+             unnest(list_transform(range(1, len(sym)), k -> sym[k + 1])) AS b,
+             c
+      FROM {prev} WHERE len(sym) >= 2
+    ),
+    best{i} AS (
+      SELECT a, b, SUM(c) AS pair_count FROM p{i} GROUP BY 1, 2
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    m{i} AS (
+      SELECT w, c, sym, best{i}.a || best{i}.b AS ab,
+             list_filter(range(1, len(sym)),
+               q -> sym[q] = best{i}.a AND sym[q + 1] = best{i}.b) AS m
+      FROM {prev}, best{i}
+    ),
+    k{i} AS (
+      SELECT w, c, sym, ab,
+             list_filter(
+               list_transform(range(1, len(m) + 1), k ->
+                 CASE WHEN len(list_filter(range(1, k + 1),
+                        j -> m[j] - j = m[k] - k)) % 2 = 1
+                      THEN m[k] END),
+               v -> v IS NOT NULL) AS keep
+      FROM m{i}
+    ),
+    {cur} AS (
+      SELECT w, c,
+             flatten(list_transform(range(1, len(sym) + 1), pos ->
+               CASE WHEN list_contains(keep, pos) THEN [ab]
+                    WHEN list_contains(keep, pos - 1)
+                      THEN CAST([] AS VARCHAR[])
+                    ELSE [sym[pos]] END)) AS sym
+      FROM k{i}
+    ),
+    after{i} AS (
+      SELECT SUM(c * len(sym)) AS corpus_symbols_after FROM {cur}
+    )"""
+
+
+_DUCK_BPE_ROUNDS = ",".join(
+    _duck_bpe_round(i) for i in range(1, L93_ROUNDS + 1)
+)
+_DUCK_BPE_REPORT = "\n    UNION ALL\n".join(
+    f"""    SELECT {i} AS round, a AS sym_a, b AS sym_b,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(corpus_symbols_after AS BIGINT) AS corpus_symbols_after
+    FROM best{i}, after{i}"""
+    for i in range(1, L93_ROUNDS + 1)
+)
+
+ORACLE["l93_bpe_train"] = f"""
+    WITH v0 AS (
+      SELECT w, c, regexp_extract_all(w, '.') AS sym
+      FROM (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+      )
+    ),
+    {_DUCK_BPE_ROUNDS}
+{_DUCK_BPE_REPORT}
+"""

@@ -228,6 +228,9 @@ _ORDER = (
     "l88_kneser_ney_bigram",
     "l89_temperature_mix",
     "l90_takedown_propagation",
+    "l91_minhash_calibration",
+    "l92_countmin_heavyhitters",
+    "l93_bpe_train",
 )
 
 

@@ -43,6 +43,7 @@ BNLJ_OK_BOUNDED = {
     "l87_pmi_collocations",  # 1-row (n_bg, n_tok) totals onto frequent pairs
     "l88_kneser_ney_bigram",  # 1-row bigram-type count onto the LM relation
     "l89_temperature_mix",  # 1-row totals onto ≤|langs| rows (l81's shape)
+    "l93_bpe_train",  # per-round 1-row best-pair + symbol-total scalars
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the

@@ -3258,3 +3258,126 @@ def test_l90_takedown_propagates_to_exact_copies_only(spark, tmp_path):
     assert got[seed_id]["is_seed"] and not got[clean[0]]["is_seed"]
     assert got[seed_id]["n_group"] == got[clean[0]]["n_group"] == 2
     assert got[seed_id]["fp"] == got[clean[0]]["fp"]
+
+
+def test_l91_calibration_exact_pair_and_estimator_bounds(spark, tmp_path):
+    """An exact duplicate pair must land in the n_agree=8 bucket with
+    true jaccard 1.0 and zero error; every bucket must satisfy the
+    estimator identities (est = k/8, min <= mean <= max)."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        # exact dup pair (identical shingle sets -> all 8 slots agree)
+        (0, "alpha beta gamma delta epsilon zeta", "en", "web", 0),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "mirror", 0),
+        # near pair: shares most 3-shingles with the pair above
+        (2, "alpha beta gamma delta epsilon eta", "en", "web", 0),
+        # unrelated
+        (3, "one two three four five six seven", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = lp.l91_minhash_calibration(spark, str(tmp_path)).collect()
+    assert got, "exact dup must be an LSH candidate"
+    by_k = {r["n_agree"]: r for r in got}
+    full = by_k[lp.N_MINHASH]
+    assert full["mean_jaccard"] == 1.0
+    assert full["mean_abs_err"] == 0.0
+    assert full["n_pairs"] >= 1
+    for r in got:
+        assert r["est_jaccard"] == r["n_agree"] / lp.N_MINHASH
+        assert r["min_jaccard"] <= r["mean_jaccard"] <= r["max_jaccard"]
+        assert 0.0 <= r["mean_abs_err"] <= 1.0
+        # LSH candidacy => at least one full band (2 rows) agrees
+        assert r["n_agree"] >= lp.N_MINHASH // lp.N_BANDS
+
+
+def test_l92_countmin_matches_pure_python_sketch(spark, tmp_path):
+    """The Spark CMS must equal a from-scratch Python replica on a
+    planted corpus — same buckets, same cells, same min-row estimates —
+    and the one-sided guarantee (est >= true) must hold everywhere."""
+    import hashlib
+    from collections import Counter
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    words = [f"tok{i}" for i in range(30)]
+    # tok_i appears i+1 times -> distinct true counts
+    corpus = " ".join(w for i, w in enumerate(words) for _ in range(i + 1))
+    spark.createDataFrame(
+        [(0, corpus, "en", "web", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def bkt(r: int, w: str) -> int:
+        h = int(hashlib.md5(f"cms{r}|{w}".encode()).hexdigest()[:15], 16)
+        return h % lp.CMS_W
+
+    true = Counter()
+    for i, w in enumerate(words):
+        true[w] = i + 1
+    cells = Counter()
+    for w, c in true.items():
+        for r in range(lp.CMS_D):
+            cells[(r, bkt(r, w))] += c
+
+    def est(w: str) -> int:
+        return min(cells[(r, bkt(r, w))] for r in range(lp.CMS_D))
+
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[: lp.L92_TOP_K]
+    expected = {
+        w: (c, est(w), est(w) - c) for w, c in top
+    }
+
+    got = {
+        r["w"]: (r["true_count"], r["est_count"], r["overcount"])
+        for r in lp.l92_countmin_heavyhitters(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    for c, e, over in got.values():
+        assert e >= c and over == e - c >= 0
+
+
+def test_l93_bpe_hand_computed_with_equal_pair_runs(spark, tmp_path):
+    """BPE training must match a hand-computed trajectory on a corpus
+    whose best pair has a == b (runs!): left-to-right non-overlapping
+    means 'aaaa' -> [aa, aa] and 'aaa' -> [aa, a]. The SQL oracle must
+    agree on the SAME corpus — the positional parity logic is only
+    exercised by equal-symbol runs, which the driver corpus never
+    produces."""
+    import duckdb as _duck
+
+    from __spark_entry__ import oracle_sql
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    # vocab: aaaa x2, aaa x1, bb x1
+    spark.createDataFrame(
+        [(0, "aaaa aaaa aaa bb", "en", "web", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # round 1: (a,a) count 3*2+2 = 8; aaaa->[aa,aa], aaa->[aa,a]
+    #   after = 2*2 + 2 + 2 = 8
+    # round 2: (aa,aa) count 2; aaaa->[aaaa]; after = 2 + 2 + 2 = 6
+    # round 3: (aa,a) 1 vs (b,b) 1 — 'aa' < 'b' wins the tie;
+    #   aaa->[aaa]; after = 2 + 1 + 2 = 5
+    expected = [
+        (1, "a", "a", 8, 8),
+        (2, "aa", "aa", 2, 6),
+        (3, "aa", "a", 1, 5),
+    ]
+
+    got = sorted(map(tuple, lp.l93_bpe_train(spark, str(tmp_path)).collect()))
+    assert got == expected
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(oracle_sql()["l93_bpe_train"]).fetchall())
+    )
+    assert oracle == expected
