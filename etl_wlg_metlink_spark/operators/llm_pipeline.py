@@ -10353,3 +10353,71 @@ ORACLE["l93_bpe_train"] = f"""
     {_DUCK_BPE_ROUNDS}
 {_DUCK_BPE_REPORT}
 """
+
+
+# --------------------------------------------------------------------------
+# l94: Unicode text normalization
+# --------------------------------------------------------------------------
+
+def l94_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first pass of every corpus
+    cleaning pipeline: strip C0/DEL control characters, Unicode-NFC
+    compose (é as one codepoint, not e + combining acute — otherwise
+    the same text hashes to two fingerprints and dedup misses it),
+    collapse whitespace runs, trim. Emits the normalized fingerprint,
+    the post-normalization length and a `changed` flag; the synthetic
+    corpus is ASCII-clean so `changed` is honestly all-false here
+    (the unit test plants decomposed accents, controls and tab runs,
+    and checks the oracle twin on that planted corpus too).
+
+    Scale shape: map-only, no shuffle. The regex steps are JVM
+    `regexp_replace` inside whole-stage codegen; ONLY the NFC step —
+    which Spark has no built-in for — pays the Arrow lane, one
+    vectorized pandas_udf (unicodedata.normalize over a batch). At
+    100 TB this is a single scan-shaped pass, the cheapest thing in
+    the catalog per byte."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(
+        F.col("text"), r"[\x00-\x1f\x7f]", ""
+    )
+    composed = nfc(stripped)
+    norm = F.trim(F.regexp_replace(composed, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("_n"),
+        F.col("text").alias("_t"),
+    ).select(
+        "doc_id",
+        F.md5(F.col("_n")).alias("norm_fp"),
+        F.length(F.col("_n")).alias("n_chars_norm"),
+        (F.col("_n") != F.col("_t")).alias("changed"),
+    )
+
+
+QUERIES["l94_text_normalize"] = l94_text_normalize
+
+ORACLE["l94_text_normalize"] = r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               nfc_normalize(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')),
+               '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_fp,
+           CAST(length(norm) AS INT) AS n_chars_norm,
+           norm <> text AS changed
+    FROM n
+"""

@@ -231,6 +231,7 @@ _ORDER = (
     "l91_minhash_calibration",
     "l92_countmin_heavyhitters",
     "l93_bpe_train",
+    "l94_text_normalize",
 )
 
 

@@ -3381,3 +3381,56 @@ def test_l93_bpe_hand_computed_with_equal_pair_runs(spark, tmp_path):
         map(tuple, con.execute(oracle_sql()["l93_bpe_train"]).fetchall())
     )
     assert oracle == expected
+
+
+def test_l94_normalize_nfc_controls_whitespace(spark, tmp_path):
+    """Normalization must NFC-compose decomposed accents, strip
+    control chars, collapse whitespace and trim — pinned against
+    hand-computed fingerprints, with the DuckDB oracle twin asserted
+    on the SAME planted corpus (the driver corpus is ASCII-clean, so
+    only this test exercises the interesting paths)."""
+    import hashlib
+
+    import duckdb as _duck
+
+    from __spark_entry__ import oracle_sql
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (0, "café  \tmenu", "fr", "web", 0),   # e+◌́ -> é; ws run
+        (1, "ok\x01ok", "en", "web", 0),              # control char
+        (2, " padded ", "en", "web", 0),              # trim only
+        (3, "clean text", "en", "web", 0),            # unchanged
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def fp(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expected = {
+        0: (fp("café menu"), 9, True),
+        1: (fp("okok"), 4, True),
+        2: (fp("padded"), 6, True),
+        3: (fp("clean text"), 10, False),
+    }
+
+    got = {
+        r["doc_id"]: (r["norm_fp"], r["n_chars_norm"], r["changed"])
+        for r in lp.l94_text_normalize(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        d: (f, int(n), c)
+        for d, f, n, c in con.execute(
+            oracle_sql()["l94_text_normalize"]
+        ).fetchall()
+    }
+    assert oracle == expected
