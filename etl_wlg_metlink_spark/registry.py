@@ -232,6 +232,7 @@ _ORDER = (
     "l92_countmin_heavyhitters",
     "l93_bpe_train",
     "l94_text_normalize",
+    "s15_streaming_countmin",
 )
 
 

@@ -637,3 +637,62 @@ ORACLE["s14_drift_monitor"] = """
                 ELSE 'stable' END AS drift_level
     FROM p
 """
+
+
+def s15_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance: per-micro-batch partial
+    d×w grids merged by elementwise sum through a batch_id-stamped
+    ledger (exactly-once restored before the sum — see
+    runners.countmin_ingest_run), serving est-vs-true for the heaviest
+    user keys. Stream equals batch because every stage is an
+    associative counter sum, so the oracle is l92's batch build keyed
+    by user_id over the full events table."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.countmin_ingest_run(spark, sf_dir)
+    )
+
+
+QUERIES["s15_streaming_countmin"] = s15_streaming_countmin
+
+from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
+    CMS_W as _CMS_W,
+    L92_TOP_K as _L92_TOP_K,
+)
+
+
+def _duck_cms_user_bucket() -> str:
+    from etl_wlg_metlink_spark.operators.llm_pipeline import _duck_md5_int60
+
+    return (
+        _duck_md5_int60("'cms' || CAST(r AS VARCHAR) || '|' || k")
+        + f" % {_CMS_W}"
+    )
+
+
+ORACLE["s15_streaming_countmin"] = f"""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    expanded AS (
+      SELECT k, c, r.r, {_duck_cms_user_bucket()} AS bkt
+      FROM counts, (VALUES (0), (1), (2), (3)) AS r(r)
+    ),
+    sketch AS (
+      SELECT r, bkt, SUM(c) AS cell FROM expanded GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT k, c FROM counts ORDER BY c DESC, k LIMIT {_L92_TOP_K}
+    ),
+    probes AS (
+      SELECT k, c, r.r, {_duck_cms_user_bucket()} AS bkt
+      FROM top, (VALUES (0), (1), (2), (3)) AS r(r)
+    )
+    SELECT k AS user_key, c AS true_count,
+           CAST(MIN(cell) AS BIGINT) AS est_count,
+           CAST(MIN(cell) - c AS BIGINT) AS overcount
+    FROM probes JOIN sketch USING (r, bkt)
+    GROUP BY k, c
+"""

@@ -1052,3 +1052,122 @@ def drift_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             level.alias("drift_level"),
         )
     )
+
+
+def countmin_ingest_run(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Streaming count-min-sketch maintenance — the streaming twin of
+    l92 and the textbook reason CMS is THE distributed heavy-hitter
+    structure: the sketch is a d×w grid of COUNTERS, so per-batch
+    partial grids merge by elementwise sum, associatively, in any
+    order. Each micro-batch computes its own partial grid (and its
+    exact per-key partial counts, the audit's ground truth) inside
+    foreachBatch and appends both to batch_id-stamped ledgers; the
+    serving read restores exactly-once (max per (batch_id, cell) —
+    an availableNow replay re-appends IDENTICAL rows, and unlike the
+    trending ledger's last-wins compaction a SUM-merge would double-
+    count them), merges the grids, and answers est-vs-true for the
+    top-{L92_TOP_K} keys. Keys are user_ids — enough cardinality at
+    sf0.1 to make 4×64 collisions real, which is what the overcount
+    column exists to show.
+
+    Scale shape: per-batch state is the constant d×w grid + the
+    batch's key partials (map+combine); the stream is never shuffled
+    whole. The ledgers grow by (d·w + batch keys) rows per batch; the
+    serving merge is a 256-key hash-agg. Stream-equals-batch holds
+    because every stage is an associative sum — the oracle is the
+    identical batch build over the full table."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        CMS_D,
+        CMS_W,
+        L92_TOP_K,
+        _md5_int60,
+    )
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    stage = staged_events_dir(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sketch_dir = _tracked_mkdtemp(prefix="cms_sketch_ledger_")
+    counts_dir = _tracked_mkdtemp(prefix="cms_counts_ledger_")
+    checkpoint_dir = _tracked_mkdtemp(prefix="cms_ckpt_")
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+
+    def bucket():
+        return (
+            _md5_int60(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("k"),
+                )
+            )
+            % CMS_W
+        )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(F.col("user_id").cast("string").alias("k"))
+        (
+            keyed.select("k", rows.alias("r"))
+            .select("r", bucket().alias("bkt"))
+            .groupBy("r", "bkt")
+            .agg(F.count("*").alias("cell"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sketch_dir)
+        )
+        (
+            keyed.groupBy("k")
+            .agg(F.count("*").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(counts_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # exactly-once restore (max over identical replayed rows per
+    # batch_id), THEN the associative merge across batches
+    sketch = (
+        spark.read.parquet(sketch_dir)
+        .groupBy("batch_id", "r", "bkt")
+        .agg(F.max("cell").alias("cell"))
+        .groupBy("r", "bkt")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    counts = (
+        spark.read.parquet(counts_dir)
+        .groupBy("batch_id", "k")
+        .agg(F.max("c").alias("c"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "k").limit(L92_TOP_K)
+    probes = top.select("k", "c", rows.alias("r")).select(
+        "k", "c", "r", bucket().alias("bkt")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bkt"])
+        .groupBy("k", "c")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            F.col("k").alias("user_key"),
+            F.col("c").alias("true_count"),
+            F.col("est").alias("est_count"),
+            (F.col("est") - F.col("c")).alias("overcount"),
+        )
+    )

@@ -998,3 +998,54 @@ def test_s14_drift_psi_matches_batch_and_is_sound(spark, sf_dir):
             "moderate" if psi >= 0.1 else "stable"
         )
         assert r["drift_level"] == want_level
+
+
+def test_s15_streaming_cms_matches_pure_python_and_batch(spark, sf_dir):
+    """The streamed-and-merged CMS must equal a from-scratch Python
+    sketch built from the full events table (mergeability: per-batch
+    partial grids summed == one global build), the one-sided guarantee
+    must hold, and the report must cover exactly the true top-K keys."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        CMS_D,
+        CMS_W,
+        L92_TOP_K,
+    )
+    from etl_wlg_metlink_spark.tables import load
+
+    got = {
+        r["user_key"]: (r["true_count"], r["est_count"], r["overcount"])
+        for r in runners.countmin_ingest_run(spark, sf_dir).collect()
+    }
+
+    true = Counter()
+    for r in (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        true[r["k"]] = r["c"]
+
+    def bkt(rr: int, k: str) -> int:
+        h = int(hashlib.md5(f"cms{rr}|{k}".encode()).hexdigest()[:15], 16)
+        return h % CMS_W
+
+    cells = Counter()
+    for k, c in true.items():
+        for rr in range(CMS_D):
+            cells[(rr, bkt(rr, k))] += c
+
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:L92_TOP_K]
+    expected = {
+        k: (c, min(cells[(rr, bkt(rr, k))] for rr in range(CMS_D)))
+        for k, c in top
+    }
+    assert set(got) == set(expected)
+    for k, (c, e) in expected.items():
+        assert got[k] == (c, e, e - c)
+        assert e >= c
