@@ -975,6 +975,22 @@ KMEANS_K = 10
 KMEANS_ITERS = 3
 
 
+def _sq_dists(x, cent):
+    """nb×k squared-Euclidean matrix as the ascending-dimension
+    SEQUENTIAL fold of f64 terms — the same ((0+t₁)+t₂)+… IEEE add
+    sequence as the oracle's ``list_sum(list_transform(range(1,65),
+    j -> (e[j]-ce[j])*(e[j]-ce[j])))`` per (row, centroid), so the
+    distance doubles are bit-identical across engines (the
+    `_argmax_cells` discipline, Euclidean edition). Cost is the same
+    N·k·64 flops the BLAS form pays, just accumulated in fold order."""
+    nb = x.shape[0]
+    d = np.zeros((nb, cent.shape[0]), dtype=np.float64)
+    for j in range(x.shape[1]):
+        diff = x[:, j, None] - cent[None, :, j]
+        d += diff * diff
+    return d
+
+
 def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column — the
     iterative-algorithm pattern: per iteration, broadcast the k
@@ -990,9 +1006,26 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-iteration cost = one Arrow map pass + one k-row agg; the only
     driver-side data is the k×64 centroid matrix, so the loop scales
-    to any corpus size. Rows-only check (iterative, not
-    SQL-expressible); output is cluster sizes + within-cluster
-    inertia, self-describing for the judge."""
+    to any corpus size.
+
+    FULL DuckDB oracle (VERDICT r14 item 1 — promoted from rows-only
+    via the `_duck_ivf_iter` pattern): every cross-engine-sensitive
+    float op is made order-independent or fold-ordered —
+    (a) partial centroid sums are FIXED-POINT int64
+        (floor(x·2^20 + 0.5), exact IEEE on f32-origin values — see
+        IVF_FP_SCALE), so the per-cluster sum commutes across
+        partitions and the mean CAST(isum AS DOUBLE)/(count·2^20) is
+        bit-identical to the oracle's however Spark partitions;
+    (b) squared distances are the ascending-dim sequential fold
+        (_sq_dists) matching the oracle's list_sum, with numpy argmin
+        = first-min ≡ ORDER BY dist ASC, k ASC (no NaN possible);
+    (c) a cluster left empty keeps its previous centroid (classic
+        Lloyd keep-previous), mirrored by the oracle's
+        LEFT JOIN + COALESCE per round;
+    (d) inertia is the int64 sum of per-row fixed-point-quantized
+        distances — floor(dist·2^20 + 0.5) is deterministic on the
+        bit-identical dist doubles, and the int sum commutes — then
+        ONE double division + ROUND(…, 4) on both engines."""
     from pyspark.sql.functions import pandas_udf
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1012,64 +1045,74 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def partial_sums(batches):
             cnt = np.zeros(KMEANS_K, dtype=np.int64)
-            sums = np.zeros((KMEANS_K, 64), dtype=np.float64)
+            isum = np.zeros((KMEANS_K, 64), dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = np.stack(pdf["embedding"].values).astype(np.float64)
-                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                a = d.argmin(axis=1)
+                a = _sq_dists(x, c).argmin(axis=1)
                 cnt += np.bincount(a, minlength=KMEANS_K)
-                # scatter-add as a one-hot matmul (BLAS, no per-k loop)
-                onehot = (
-                    a[:, None] == np.arange(KMEANS_K)[None, :]
-                ).astype(np.float64)
-                sums += onehot.T @ x
+                xq = np.floor(x * float(IVF_FP_SCALE) + 0.5).astype(np.int64)
+                np.add.at(isum, a, xq)
             hit = np.flatnonzero(cnt)
             if len(hit):
                 yield pd.DataFrame(
                     {
                         "k": hit.astype("int32"),
                         "n": cnt[hit],
-                        "s": [sums[j].tolist() for j in hit],
+                        "s": [isum[j].tolist() for j in hit],
                     }
                 )
 
         partial = emb.select("embedding").mapInPandas(
-            partial_sums, "k int, n long, s array<double>"
+            partial_sums, "k int, n long, s array<long>"
         )
         # Driver-side reduce of the ≤ tasks×k partial rows (each k×64
-        # floats) — the same shape MLlib's treeAggregate collects. One
-        # job per iteration, no shuffle at all; at extreme task counts
+        # int64 — the shape MLlib's treeAggregate collects). One job
+        # per iteration, no shuffle at all; at extreme task counts
         # (≥10⁴) insert one k-keyed groupBy level before the collect,
-        # which caps driver traffic at k×64 again.
+        # which caps driver traffic at k×64 again (int sums commute,
+        # so any reduce tree yields the same totals bit-for-bit).
         cnt = np.zeros(KMEANS_K, dtype=np.int64)
-        sums = np.zeros((KMEANS_K, 64), dtype=np.float64)
+        isum = np.zeros((KMEANS_K, 64), dtype=np.int64)
         for r in partial.collect():
             cnt[r["k"]] += r["n"]
-            sums[r["k"]] += np.array(r["s"], dtype=np.float64)
+            isum[r["k"]] += np.array(r["s"], dtype=np.int64)
         centroids = centroids.copy()
         for j in np.flatnonzero(cnt):
-            centroids[j] = sums[j] / cnt[j]
+            # same two IEEE ops as the oracle's
+            # CAST(isum AS DOUBLE) / (COUNT(*) * 2^20)
+            centroids[j] = isum[j].astype(np.float64) / (
+                np.float64(cnt[j]) * np.float64(IVF_FP_SCALE)
+            )
 
     c_final = centroids
 
-    @pandas_udf("k int, dist double")
+    @pandas_udf("k int, idist long")
     def assign_with_dist(e: pd.Series) -> pd.DataFrame:
         x = np.stack(e.values).astype(np.float64)
-        d = ((x[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(x, c_final)
+        a = d.argmin(axis=1)
+        dist = d[np.arange(len(a)), a]
         return pd.DataFrame(
-            {"k": d.argmin(axis=1).astype("int32"), "dist": d.min(axis=1)}
+            {
+                "k": a.astype("int32"),
+                "idist": np.floor(
+                    dist * float(IVF_FP_SCALE) + 0.5
+                ).astype(np.int64),
+            }
         )
 
     final = emb.select(assign_with_dist("embedding").alias("a")).select(
-        F.col("a.k").alias("cluster"), F.col("a.dist").alias("dist")
+        F.col("a.k").alias("cluster"), F.col("a.idist").alias("idist")
     )
     return (
         final.groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
-            F.round(F.sum("dist"), 4).alias("inertia"),
+            F.round(
+                F.sum("idist").cast("double") / F.lit(float(IVF_FP_SCALE)), 4
+            ).alias("inertia"),
         )
         .orderBy("cluster")
     )
@@ -10421,3 +10464,81 @@ ORACLE["l94_text_normalize"] = r"""
            norm <> text AS changed
     FROM n
 """
+
+
+# --------------------------------------------------------------------------
+# l16 full oracle (VERDICT r14 item 1): Lloyd k-means unrolled as CTEs,
+# the `_duck_ivf_iter` pattern with squared-Euclidean argmin instead of
+# max-cosine and keep-previous (LEFT JOIN + COALESCE) instead of
+# drop-empty. Bit-exactness contract: see l16_kmeans's docstring —
+# fixed-point int64 centroid sums, sequential-fold distances, first-min
+# tie rule (ORDER BY dist ASC, k ASC), fixed-point inertia sum.
+# --------------------------------------------------------------------------
+
+
+def _duck_l16_dist(e: str, ce: str) -> str:
+    """Sequential-fold squared Euclidean distance — the SQL twin of
+    _sq_dists' ascending-dim accumulation."""
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"j -> ({e}[j] - {ce}[j]) * ({e}[j] - {ce}[j])))"
+    )
+
+
+def _duck_l16_iter(i: int) -> str:
+    """One unrolled Lloyd round: assign every vector to its min-distance
+    centroid of k{i-1} (first-min tie rule), recompute each non-empty
+    cluster's centroid as the fixed-point mean (order-independent int64
+    sum, then the same CAST/divide as numpy), and keep the previous
+    centroid for clusters no vector chose."""
+    fp = f"{IVF_FP_SCALE}.0"
+    return f"""
+        a{i} AS (
+          SELECT vec_id, e, k FROM (
+            SELECT c.vec_id, c.e, k{i - 1}.k,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     {_duck_l16_dist("c.e", "ce")} ASC, k{i - 1}.k ASC) AS rn
+            FROM c, k{i - 1}
+          ) WHERE rn = 1
+        ),
+        u{i} AS (
+          SELECT k, j,
+                 CAST(SUM(CAST(floor(e[j] * {fp} + 0.5) AS BIGINT))
+                      AS DOUBLE) / (COUNT(*) * {fp}) AS cd
+          FROM a{i}, range(1, 65) t(j)
+          GROUP BY k, j
+        ),
+        k{i} AS (
+          SELECT p.k, COALESCE(n.ce, p.ce) AS ce
+          FROM k{i - 1} p
+          LEFT JOIN (SELECT k, list(cd ORDER BY j) AS ce
+                     FROM u{i} GROUP BY k) n USING (k)
+        )"""
+
+
+ORACLE["l16_kmeans"] = (
+    f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    k0 AS (SELECT vec_id AS k, e AS ce FROM c WHERE vec_id < {KMEANS_K}),"""
+    + ",".join(_duck_l16_iter(i) for i in range(1, KMEANS_ITERS + 1))
+    + f""",
+    fin AS (
+      SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, k ASC) AS rn
+        FROM (SELECT c.vec_id, k{KMEANS_ITERS}.k,
+                     {_duck_l16_dist("c.e", "ce")} AS dist
+              FROM c, k{KMEANS_ITERS})
+      ) WHERE rn = 1
+    )
+    SELECT CAST(k AS INT) AS cluster, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(floor(dist * {IVF_FP_SCALE}.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / {IVF_FP_SCALE}.0, 4) AS inertia
+    FROM fin GROUP BY k ORDER BY cluster
+"""
+)
