@@ -703,6 +703,48 @@ N_PLANES = 6  # 2^6 = 64 buckets; sized so buckets hold ~corpus/64 vectors
 PROBE_RADII = (0, 1, 2)
 
 
+def _fold_dot_mat(x, y):
+    """n×m dot-product block as the ascending-dimension SEQUENTIAL
+    fold of f64 products — the same ((0+t₁)+t₂)+… IEEE add sequence as
+    the oracle's ``list_sum(list_transform(range(1,65), i -> …))`` per
+    pair (the `_argmax_cells` discipline), so every sim/sign double is
+    bit-identical across engines. Same flops as the BLAS matmul, just
+    accumulated in fold order."""
+    acc = np.zeros((x.shape[0], y.shape[0]), dtype=np.float64)
+    for d in range(x.shape[1]):
+        acc += x[:, d, None] * y[None, :, d]
+    return acc
+
+
+def _fold_norms(x):
+    """Sequential-fold L2 norms (sqrt of the ascending-dim fold of
+    squares) — the SQL twin of
+    sqrt(list_sum(list_transform(e, v -> v*v)))."""
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for d in range(x.shape[1]):
+        acc += x[:, d] * x[:, d]
+    return np.sqrt(acc)
+
+
+def _lsh_planes() -> "np.ndarray":
+    """l12's random hyperplanes: component d of plane p ∈ [-1, 1),
+    md5-derived ((md5_int60 % 2001 − 1000)/1000.0) so any engine —
+    including the DuckDB oracle, which regenerates them with the same
+    md5/substr/modulo pipeline in SQL — holds the SAME doubles."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                (int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:15], 16)
+                 % 2001 - 1000) / 1000.0
+                for d in range(64)
+            ]
+            for p in range(N_PLANES)
+        ]
+    )
+
+
 def l12_lsh_ann_recall(
     spark: SparkSession, sf_dir: str, radii: tuple[int, ...] = PROBE_RADII
 ) -> DataFrame:
@@ -733,29 +775,25 @@ def l12_lsh_ann_recall(
     state: 50×64 floats + ~1k partial rows, independent of corpus
     size).
 
-    Non-SQL-expressible end-to-end (deterministic pseudo-random planes
-    + sign-bucket candidate generation), so registered rows-only; the
-    judge can read recall directly from the output rows."""
+    FULL DuckDB oracle (VERDICT r14 item 2 — promoted from rows-only):
+    nothing here is actually non-SQL-expressible once every float op is
+    fold-ordered. The planes are md5-derived integers the oracle
+    regenerates in SQL; signs and cosines use the sequential-fold
+    helpers (_fold_dot_mat/_fold_norms) so both engines hold
+    bit-identical doubles; Hamming distance over sign vectors equals
+    bit_count(xor(bucket_ints)); the per-partition local top-5 merged
+    by the global window equals the oracle's single ROW_NUMBER per
+    (query, lane); and recall is int/int division of intersection
+    counts. The self-measured recall@5 is therefore differentially
+    pinned end-to-end — sketch, multi-probe candidates, truth ranking,
+    and the recall arithmetic itself."""
     emb = load(spark, sf_dir, "embeddings")
     # Testdata is one small file → one input split; re-spread for task
     # parallelism. At real scale the parquet scan already yields
     # per-split tasks and this repartition would be dropped.
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
 
-    # Deterministic planes: component d of plane p ∈ [-1, 1), derived
-    # from md5 so any engine/worker regenerates the same sketch.
-    import hashlib
-
-    planes = np.array(
-        [
-            [
-                (int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:15], 16)
-                 % 2001 - 1000) / 1000.0
-                for d in range(64)
-            ]
-            for p in range(N_PLANES)
-        ]
-    )
+    planes = _lsh_planes()
 
     # Bounded-by-design query set (the reference point lookup side);
     # float32→float64 widening is exact, so these equal the in-UDF
@@ -766,8 +804,8 @@ def l12_lsh_ann_recall(
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_signs = (q_mat @ planes.T) > 0
-    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_signs = _fold_dot_mat(q_mat, planes) > 0
+    q_norms = _fold_norms(q_mat)
 
     def partial_topk(batches):
         for pdf in batches:
@@ -775,9 +813,9 @@ def l12_lsh_ann_recall(
                 continue
             x = np.stack(pdf["embedding"].values).astype(np.float64)
             vec_ids = pdf["vec_id"].to_numpy(np.int64)
-            signs = (x @ planes.T) > 0
-            sims = (x @ q_mat.T) / (
-                np.linalg.norm(x, axis=1)[:, None] * q_norms[None, :]
+            signs = _fold_dot_mat(x, planes) > 0
+            sims = _fold_dot_mat(x, q_mat) / (
+                _fold_norms(x)[:, None] * q_norms[None, :]
             )
             ham = (signs[:, None, :] != q_signs[None, :, :]).sum(axis=2)
             not_self = vec_ids[:, None] != q_ids[None, :]
@@ -10540,5 +10578,90 @@ ORACLE["l16_kmeans"] = (
                                AS BIGINT)) AS DOUBLE)
                  / {IVF_FP_SCALE}.0, 4) AS inertia
     FROM fin GROUP BY k ORDER BY cluster
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# l12 full oracle (VERDICT r14 item 2): the LSH-recall lane regenerated
+# entirely in SQL — md5-derived planes, sequential-fold signs/cosines
+# (bit-identical to _fold_dot_mat/_fold_norms), bucket ints, Hamming via
+# bit_count(xor), per-lane top-5 by (sim DESC, vec_id), recall as
+# int/int division. One ranked subquery per probe radius, generated
+# from the SAME PROBE_RADII constant the Spark side uses.
+# --------------------------------------------------------------------------
+
+_DUCK_L12_PLANES = f"""planes AS (
+      SELECT p,
+             list_transform(range(0, 64), d ->
+               ({_duck_md5_int60("'plane' || p::VARCHAR || '_' || d::VARCHAR")}
+                % 2001 - 1000) / 1000.0) AS pl
+      FROM range(0, {N_PLANES}) t(p)
+    )"""
+
+_DUCK_L12_RADII = "".join(
+    f""",
+    r{h}top AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vid ASC) AS rk
+        FROM s WHERE ham <= {h}
+      ) WHERE rk <= 5
+    ),
+    i{h} AS (
+      SELECT qid, COUNT(*) AS ni
+      FROM t5 JOIN r{h}top USING (qid, vid) GROUP BY qid
+    )"""
+    for h in PROBE_RADII
+)
+
+ORACLE["l12_lsh_ann_recall"] = (
+    f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE))) AS n
+      FROM embeddings
+    ),
+    {_DUCK_L12_PLANES},
+    sk AS (
+      SELECT c.vec_id,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                             i -> c.e[i] * pl[i])) > 0
+                           THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM c, planes GROUP BY c.vec_id
+    ),
+    q AS (
+      SELECT c.vec_id AS qid, e AS qe, n AS qn, bucket AS qb
+      FROM c JOIN sk USING (vec_id) WHERE vec_id < 50
+    ),
+    s AS (
+      SELECT q.qid, c.vec_id AS vid,
+             list_sum(list_transform(range(1, 65),
+               i -> c.e[i] * qe[i])) / (c.n * qn) AS sim,
+             bit_count(xor(qb, sk.bucket)) AS ham
+      FROM q, c JOIN sk USING (vec_id)
+      WHERE c.vec_id != q.qid
+    ),
+    t5 AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vid ASC) AS rk
+        FROM s
+      ) WHERE rk <= 5
+    ),
+    tn AS (SELECT qid, COUNT(*) AS nt FROM t5 GROUP BY qid)"""
+    + _DUCK_L12_RADII
+    + f"""
+    SELECT tn.qid AS query_id,
+           {", ".join(
+               f"ROUND(COALESCE(i{h}.ni, 0)::DOUBLE / tn.nt, 4)"
+               f" AS recall_at_5_r{h}"
+               for h in PROBE_RADII
+           )}
+    FROM tn {" ".join(f"LEFT JOIN i{h} USING (qid)" for h in PROBE_RADII)}
 """
 )
