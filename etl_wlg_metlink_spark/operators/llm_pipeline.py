@@ -9622,6 +9622,21 @@ L87_MIN_COUNT = 5    # rare-pair floor: PMI on tiny counts is noise
 L87_PMI_BITS = 1     # "collocated" = pair carries >= 1 bit of association
 
 
+def _decimal_cmp_guarded(lhs, rhs, msg: str):
+    """`lhs >= rhs` with NULL operands promoted to a loud error
+    (ADVICE r14): with ANSI off, a Spark decimal(38,0) product that
+    overflows yields NULL silently — while DuckDB's HUGEINT twin
+    errors — so past the integer headroom the engines would diverge
+    as NULL-vs-error instead of failing the same way. Both operands
+    are non-null by construction inside the headroom, so the
+    raise_error branch is dead code until an overflow makes it the
+    exact signal we want (pinned by
+    test_decimal_cmp_guard_raises_on_overflow)."""
+    return F.when(lhs.isNotNull() & rhs.isNotNull(), lhs >= rhs).otherwise(
+        F.raise_error(F.lit(msg)).cast("boolean")
+    )
+
+
 def l87_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise-mutual-information collocation mining over adjacent
     word pairs — the classic phrase-detection / tokenizer-merge-
@@ -9634,8 +9649,14 @@ def l87_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi >= T  <=>  c_bg·n_tok² >= 2^T·n_bg·c_w1·c_w2 — in decimal(38)
     (Spark) / HUGEINT (DuckDB), so the boolean is bit-exact across
     engines while the reported pmi double is informational (the
-    38-digit headroom covers ~1e12-token corpora; past that the flag
-    would move to log-space with an epsilon band). On the synthetic
+    38-digit headroom covers ~1e12-token corpora). Past the headroom
+    the two engines would otherwise FAIL DIFFERENTLY — Spark's
+    non-ANSI decimal overflow yields NULL silently while DuckDB's
+    HUGEINT errors — so the Spark side asserts both products non-null
+    and raises on overflow (ADVICE r14): an out-of-headroom corpus now
+    surfaces as a loud error on both engines instead of a silent
+    NULL-vs-boolean differential; the fix at that scale is moving the
+    flag to log-space with an epsilon band. On the synthetic
     iid corpus every pair is honestly non-collocated (pmi ≈ 0); the
     unit test plants a real collocation.
 
@@ -9690,10 +9711,17 @@ def l87_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2 ** L87_PMI_BITS).cast("decimal(38,0)")
         * dec("n_bg") * dec("c_w1") * dec("c_w2")
     )
+    collocated = _decimal_cmp_guarded(
+        lhs,
+        rhs,
+        "l87: decimal(38,0) overflow in the collocation flag — corpus "
+        "exceeds the ~1e12-token integer headroom; move the flag to "
+        "log-space with an epsilon band",
+    )
     return res.select(
         "w1", "w2", "c_bg", "c_w1", "c_w2",
         F.round(pmi, 4).alias("pmi_bits"),
-        (lhs >= rhs).alias("collocated"),
+        collocated.alias("collocated"),
     )
 
 
@@ -9864,11 +9892,21 @@ def l89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_l^alpha / sum(p^alpha). alpha is fixed at 1/2 so the
     exponentiation is sqrt — IEEE-754 sqrt is CORRECTLY ROUNDED in
     both engines (unlike pow(x, 0.3), which is implementation-
-    defined), so the per-language doubles agree bit-for-bit and only
-    the |langs|-sized sum carries the usual summation-order ulp.
+    defined), so the per-language doubles agree bit-for-bit.
     `boosted` marks languages whose temperature share exceeds their
     proportional share (low-resource languages, by construction of
     any concave temperature).
+
+    Cross-engine determinism of the flag (ADVICE r14): the one input
+    whose bits depended on engine-specific summation order was
+    s_total = Σ sqrt(n_l) — a float sum. It is now the fixed-point
+    int64 sum Σ floor(sqrt(n_l)·2^20 + 0.5) divided once by 2^20
+    (the IVF_FP_SCALE discipline): per-language sqrt is correctly
+    rounded, the quantization is deterministic, and int sums commute,
+    so both engines hold the SAME s_total double and the strict
+    comparison `temp > prop` can no longer flip by one ulp on an
+    exact-tie corpus (e.g. all languages equal). ~6 decimal digits of
+    share precision — far inside the 4-dp display rounding.
 
     Scale shape: identical to l81 — the corpus pass is one
     map+combine token-count agg; everything downstream operates on
@@ -9879,9 +9917,15 @@ def l89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(_words(F.col("text")))).alias("n_tokens"),
     )
+    fp = F.lit(float(IVF_FP_SCALE))
     totals = per_lang.agg(
         F.sum("n_tokens").alias("t_total"),
-        F.sum(F.sqrt(F.col("n_tokens"))).alias("s_total"),
+        (
+            F.sum(
+                F.floor(F.sqrt(F.col("n_tokens")) * fp + F.lit(0.5))
+            ).cast("double")
+            / fp
+        ).alias("s_total"),
     )
     joined = per_lang.crossJoin(F.broadcast(totals))
     prop = F.col("n_tokens") / F.col("t_total")
@@ -9900,7 +9944,7 @@ def l89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["l89_temperature_mix"] = l89_temperature_mix
 
-ORACLE["l89_temperature_mix"] = """
+ORACLE["l89_temperature_mix"] = f"""
     WITH per_lang AS (
       SELECT lang, COUNT(*) AS n_docs,
              SUM(len(string_split(text, ' '))) AS n_tokens
@@ -9908,7 +9952,9 @@ ORACLE["l89_temperature_mix"] = """
     ),
     tot AS (
       SELECT SUM(n_tokens) AS t_total,
-             SUM(sqrt(n_tokens)) AS s_total
+             CAST(SUM(CAST(floor(sqrt(n_tokens) * {IVF_FP_SCALE}.0 + 0.5)
+                           AS BIGINT))
+                  AS DOUBLE) / {IVF_FP_SCALE}.0 AS s_total
       FROM per_lang
     )
     SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -3223,6 +3223,63 @@ def test_l89_temperature_mix_sqrt_weights(spark, tmp_path):
     assert mi["boosted"] and not en["boosted"]
 
 
+def test_l89_boosted_flag_deterministic_on_exact_tie(spark, tmp_path):
+    """ADVICE r14: on an all-languages-equal corpus, temp share equals
+    prop share EXACTLY (both 1/L with the fixed-point s_total), so the
+    strict `boosted` comparison must be False for every language —
+    deterministically, not by summation-order luck."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    rows = [
+        (i, " ".join(["w"] * 36), lang, "web", 0)
+        for i, lang in enumerate(["en", "mi", "fr", "de"])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = lp.l89_temperature_mix(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["prop_share"] == r["temp_share"] == 0.25
+        assert r["boosted"] is False
+
+
+def test_decimal_cmp_guard_raises_on_overflow(spark):
+    """ADVICE r14: under ANSI (Spark 4's default) a decimal(38,0)
+    overflow already errors loudly — the gap is ANSI-OFF sessions,
+    where the overflow yields NULL silently while DuckDB's HUGEINT
+    twin errors. l87's comparison guard must convert that NULL into a
+    loud error so both engines fail the same way, and the
+    non-overflow path must keep returning plain booleans."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _decimal_cmp_guarded,
+    )
+
+    big = F.lit("9" * 38).cast("decimal(38,0)")
+    ok = spark.range(1).select(
+        _decimal_cmp_guarded(big, F.lit(1).cast("decimal(38,0)"), "boom")
+        .alias("flag")
+    )
+    assert ok.collect()[0]["flag"] is True
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        overflowed = big * F.lit(10).cast("decimal(38,0)")  # silent NULL
+        bad = spark.range(1).select(
+            _decimal_cmp_guarded(overflowed, big, "l87 overflow")
+            .alias("flag")
+        )
+        with pytest.raises(Exception, match="l87 overflow"):
+            bad.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_l90_takedown_propagates_to_exact_copies_only(spark, tmp_path):
     """A takedown seed must remove itself AND every doc sharing its
     bag fingerprint (different doc_id, shuffled words), flagged as
