@@ -58,3 +58,43 @@ class MetlinkConfig:
         """S7-adjacent introspection: config surface as a plain dict
         (≈ the reference returning `Env` from schema(), task.ts:129)."""
         return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    @classmethod
+    def form_schema(cls) -> dict:
+        """Render the config as the Input-flow FORM schema — the
+        JSON-schema object the reference's `schema(SchemaType.Input)`
+        returns so the UI can render Env as a form (task.ts:29-51,
+        124-131): field names, types, descriptions, and defaults.
+        Generated FROM the dataclass (names via _ENV_FORM_NAMES,
+        types/defaults from the declared field defaults), so the form
+        can never drift from what `from_env` actually resolves —
+        pinned by test_input_flow_schema_round_trip."""
+        props = {}
+        for f in fields(cls):
+            props[_ENV_FORM_NAMES[f.name]] = {
+                "type": "boolean" if isinstance(f.default, bool) else "string",
+                "description": _ENV_FORM_DESCRIPTIONS[f.name],
+                "default": f.default,
+            }
+        return {"type": "object", "properties": props}
+
+
+#: Form-schema field spellings, exactly the reference's Env keys
+#: (task.ts:30-51) — mixed-case toggles, SCREAMING keys for the two
+#: plain env vars.
+_ENV_FORM_NAMES = {
+    "metlink_api_key": "METLINK_API_KEY",
+    "show_buses": "Show_Buses",
+    "show_trains": "Show_Trains",
+    "show_ships": "Show_Ships",
+    "debug": "DEBUG",
+}
+
+#: Descriptions verbatim from the reference's Env (task.ts:30-51).
+_ENV_FORM_DESCRIPTIONS = {
+    "metlink_api_key": "API Key for Metlink OpenData API",
+    "show_buses": "Show buses on the map",
+    "show_trains": "Show trains on the map",
+    "show_ships": "Show ships/ferries on the map",
+    "debug": "Print API results in logs.",
+}

@@ -80,3 +80,24 @@ def describe(name: str) -> str:
     """Introspection: JSON schema string for a registered StructType
     (≈ reference `schema()` returning the TypeBox object)."""
     return REGISTRY[name].json()
+
+
+def schema(schema_type: str = "input", flow: str = "incoming"):
+    """The reference's three-way `schema(type, flow)` dispatch
+    (task.ts:124-137), spelled for this engine:
+
+    - incoming + input  → the config FORM schema (the Env object the
+      UI renders as a settings form — task.ts:129-130); returns the
+      JSON-schema dict from MetlinkConfig.form_schema().
+    - incoming + output → the GTFS-RT response StructType
+      (MetlinkResponse, task.ts:131-132).
+    - outgoing  + *     → an empty object schema (task.ts:134-135 —
+      the task has no outgoing flow).
+    """
+    if flow == "incoming":
+        if schema_type == "input":
+            from etl_wlg_metlink_spark.config import MetlinkConfig
+
+            return MetlinkConfig.form_schema()
+        return VEHICLE_POSITIONS_RESPONSE
+    return T.StructType([])
