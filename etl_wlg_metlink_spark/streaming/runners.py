@@ -1114,20 +1114,33 @@ def countmin_ingest_run(
         )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.select(F.col("user_id").cast("string").alias("k"))
+        # ONE pass over the batch (the per-key exact counts), then the
+        # partial grid derives FROM those counts: cell(r, bkt) =
+        # Σ_{k hashing there} c(k) — identical values to counting raw
+        # events per bucket, but the d md5 probes run once per
+        # DISTINCT key instead of once per event row (VERDICT r14
+        # item 5: ~0.4 s/lane at sf0.1 — see the BENCH_NOTES floor
+        # decomposition — and at 100 TB the difference between hashing
+        # the corpus ×d and hashing the key dictionary ×d).
+        # localCheckpoint pins the bounded per-batch key partials so
+        # both ledger writes reuse the single aggregation.
+        kc = (
+            batch_df.select(F.col("user_id").cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
         (
-            keyed.select("k", rows.alias("r"))
-            .select("r", bucket().alias("bkt"))
+            kc.select("k", "c", rows.alias("r"))
+            .select("r", bucket().alias("bkt"), "c")
             .groupBy("r", "bkt")
-            .agg(F.count("*").alias("cell"))
+            .agg(F.sum("c").alias("cell"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(sketch_dir)
         )
         (
-            keyed.groupBy("k")
-            .agg(F.count("*").alias("c"))
-            .withColumn("batch_id", F.lit(batch_id))
+            kc.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(counts_dir)
         )
