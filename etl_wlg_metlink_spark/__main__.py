@@ -10,6 +10,12 @@ of the composed pipeline.
         --sf-dir /root/testdata/sf0.001   # LLM-corpus flagship: l42
         # build → bucketed parquet write → read-back audit (one line of
         # JSON per language on stdout)
+    python -m etl_wlg_metlink_spark --schedule /data/landing \
+        --config /etc/metlink.json --checkpoint /data/ckpt
+        # scheduled-job unit (reference handler+Dockerfile,
+        # task.ts:349-351): availableNow over the landing dir, one
+        # FeatureCollection per file, exactly-once across re-runs via
+        # the stable checkpoint
 
 Config comes from the same env surface as the reference's Env
 (METLINK_API_KEY, SHOW_BUSES/TRAINS/SHIPS, DEBUG — config.py). With
@@ -42,6 +48,26 @@ def main(argv: list[str] | None = None) -> int:
         "write the kept corpus there as a fp-bucketed parquet table; "
         "prints the read-back per-language audit as JSON lines",
     )
+    src.add_argument(
+        "--schedule",
+        metavar="INPUT_DIR",
+        help="scheduled-job mode (the reference's handler+Dockerfile "
+        "unit, task.ts:349-351): run the availableNow envelope pipeline "
+        "ONCE over a landing directory of raw GTFS-RT envelope JSON "
+        "files — one FeatureCollection submitted per file — then exit",
+    )
+    ap.add_argument(
+        "--config",
+        help="JSON config file using the form-schema spellings "
+        "(METLINK_API_KEY, Show_Buses, Show_Trains, Show_Ships, DEBUG); "
+        "overrides env, which overrides defaults",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        help="checkpoint dir for --schedule (default: a fresh temp dir; "
+        "pass a stable path so a re-run after failure resumes instead "
+        "of re-submitting processed files)",
+    )
     ap.add_argument("--out", help="write JSON-lines features here instead of stdout")
     ap.add_argument(
         "--sf-dir",
@@ -58,8 +84,45 @@ def main(argv: list[str] | None = None) -> int:
     from etl_wlg_metlink_spark.sinks import geojson
     from etl_wlg_metlink_spark.sources import gtfs
 
-    cfg = MetlinkConfig.from_env()
+    cfg = (
+        MetlinkConfig.from_file_env(args.config)
+        if args.config
+        else MetlinkConfig.from_env()
+    )
     spark = build_session(app_name="etl-wlg-metlink", master=args.master)
+
+    if args.schedule:
+        # S5 scheduled invocation as a packaged one-command unit: the
+        # streaming envelope pipeline with trigger(availableNow) —
+        # process every landed file, submit one FeatureCollection per
+        # micro-batch, stop. With a stable --checkpoint this is
+        # exactly-once across re-invocations (a cron/Lambda schedule
+        # re-running the same command skips already-processed files),
+        # mirroring the reference's handler+Dockerfile deploy unit.
+        import tempfile
+
+        from etl_wlg_metlink_spark.streaming import runners
+
+        checkpoint = args.checkpoint or tempfile.mkdtemp(
+            prefix="metlink_schedule_ckpt_"
+        )
+        counters = {"submitted": 0, "batches": 0}
+
+        def poster(fc: dict) -> None:
+            counters["batches"] += 1
+            counters["submitted"] += len(fc["features"])
+            print(json.dumps(fc))
+
+        q = runners.metlink_envelope_stream(
+            spark, args.schedule, poster, checkpoint, cfg=cfg
+        )
+        q.awaitTermination()
+        print(
+            f"scheduled run complete: {counters['batches']} batches, "
+            f"{counters['submitted']} features submitted",
+            file=sys.stderr,
+        )
+        return 0
 
     if args.corpus_build:
         from etl_wlg_metlink_spark.sinks import corpus

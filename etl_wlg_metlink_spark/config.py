@@ -60,6 +60,30 @@ class MetlinkConfig:
         return {f.name: getattr(self, f.name) for f in fields(self)}
 
     @classmethod
+    def from_file_env(cls, path: str) -> "MetlinkConfig":
+        """Scheduled-job config resolution (the reference's deploy
+        unit passes Env as the stored task config): a JSON file whose
+        keys use the FORM-SCHEMA spellings (METLINK_API_KEY,
+        Show_Buses, … — task.ts:30-51) overrides the environment,
+        which overrides the declared defaults. Unknown keys are a
+        LOUD error — a typo'd toggle in a deploy config must fail the
+        invocation, not silently fall back to a default."""
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            raise ValueError(f"config file {path}: expected a JSON object")
+        inv = {v: k for k, v in _ENV_FORM_NAMES.items()}
+        unknown = sorted(set(data) - set(inv))
+        if unknown:
+            raise ValueError(
+                f"config file {path}: unknown keys {unknown}; "
+                f"expected a subset of {sorted(inv)}"
+            )
+        return cls.from_env(**{inv[k]: v for k, v in data.items()})
+
+    @classmethod
     def form_schema(cls) -> dict:
         """Render the config as the Input-flow FORM schema — the
         JSON-schema object the reference's `schema(SchemaType.Input)`

@@ -673,6 +673,7 @@ def metlink_envelope_stream(
     input_dir: str,
     poster: Callable[[dict], None],
     checkpoint_dir: str,
+    cfg=None,
 ):
     """S4/S5 streaming sink: watch a directory of raw envelope JSON
     files; each micro-batch runs the composed Metlink pipeline and
@@ -682,6 +683,9 @@ def metlink_envelope_stream(
     from etl_wlg_metlink_spark.config import MetlinkConfig
     from etl_wlg_metlink_spark.pipelines import metlink
     from etl_wlg_metlink_spark.sinks import geojson
+
+    if cfg is None:
+        cfg = MetlinkConfig()
 
     raw = (
         spark.readStream.schema("value string")
@@ -701,7 +705,7 @@ def metlink_envelope_stream(
     )
 
     def submit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        features = metlink.run(batch_df, MetlinkConfig())
+        features = metlink.run(batch_df, cfg)
         geojson.submit(features, poster)
 
     return (

@@ -85,3 +85,59 @@ def test_cli_corpus_build_roundtrip(spark, sf_dir, tmp_path, capsys):
     sum_ids = written.agg(F.sum("doc_id").alias("s")).first()["s"]
     assert sum_ids == sum(d["sum_kept_ids"] for d in expected)
     assert "fp" in written.columns  # the bucket key rides the schema
+
+
+def test_cli_schedule_mode_availablenow(spark, tmp_path, capsys):
+    """VERDICT r14 item 7: the one-command scheduled-job unit. Two
+    envelope files land; one --schedule invocation must submit one
+    FeatureCollection per file and exit 0; a re-invocation with the
+    SAME checkpoint must submit nothing (exactly-once across scheduled
+    re-runs); config from --config must apply (Show_Buses off)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        json.dumps({"header": {"timestamp": 1}, "entity": FIXTURE_ENTITIES})
+    )
+    (landing / "b.json").write_text(
+        json.dumps({"header": {"timestamp": 2}, "entity": FIXTURE_ENTITIES[:1]})
+    )
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"Show_Buses": False}))
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = main(
+        ["--schedule", str(landing), "--config", str(cfg),
+         "--checkpoint", ckpt]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    fcs = [json.loads(line) for line in out.out.strip().splitlines()]
+    assert len(fcs) == 2  # one FeatureCollection per landed file
+    assert all(fc["type"] == "FeatureCollection" for fc in fcs)
+    # Show_Buses=False from the config file: no bus features anywhere
+    all_ids = [f["id"] for fc in fcs for f in fc["features"]]
+    assert all_ids and not any("Bus" in i for i in all_ids)
+    assert "2 batches" in out.err
+
+    # same checkpoint, second scheduled invocation: nothing new to do
+    rc = main(
+        ["--schedule", str(landing), "--config", str(cfg),
+         "--checkpoint", ckpt]
+    )
+    assert rc == 0
+    out2 = capsys.readouterr()
+    assert out2.out.strip() == ""
+    assert "0 batches, 0 features" in out2.err
+
+
+def test_cli_config_file_unknown_key_is_loud(tmp_path):
+    """A typo'd key in a deploy config must fail the invocation, not
+    silently resolve to a default."""
+    import pytest
+
+    from etl_wlg_metlink_spark.config import MetlinkConfig
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"Show_Busses": False}))
+    with pytest.raises(ValueError, match="Show_Busses"):
+        MetlinkConfig.from_file_env(str(cfg))
