@@ -10711,3 +10711,328 @@ ORACLE["l12_lsh_ann_recall"] = (
     FROM tn {" ".join(f"LEFT JOIN i{h} USING (qid)" for h in PROBE_RADII)}
 """
 )
+
+
+# --------------------------------------------------------------------------
+# l95: HyperLogLog cardinality sketch (round 15 — completes the sketch
+# family: count-min = frequency, Bloom = membership, HLL = cardinality)
+# --------------------------------------------------------------------------
+
+#: 2^HLL_P registers. p=8 → 256 registers, standard error
+#: 1.04/√256 ≈ 6.5% — the classic small-HLL operating point; a 100 TB
+#: run bumps p to 12-14 (still KB-sized state).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: rank operates on the remaining Q = 60 − p hash bits
+HLL_Q = 60 - HLL_P
+#: integer scale for the harmonic sum: Z_int = Σ 2^(S − M_j) is EXACT
+#: int64 (max term 2^(S−1), 256 terms + 2^S per empty register —
+#: bounded by 2^62 at S = 54), so the register merge AND the harmonic
+#: sum are order-independent across engines; the only float ops are
+#: one division and the final rounds, on bit-identical inputs.
+HLL_S = 54
+#: bias correction α_m · m² · 2^S folded into one literal both engines
+#: parse to the same double (correctly-rounded decimal→binary).
+_HLL_CONST = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_S)
+
+
+def l95_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user cardinality per event type, calibrated
+    against the exact count — THE cardinality sketch of every 100 TB
+    pipeline (how many distinct users/URLs/shingles without a
+    corpus-wide distinct shuffle). Flajolet et al. 2007, the Spark
+    built-in approx_count_distinct's own algorithm, re-derived here in
+    cross-engine-exact integer form so the DuckDB oracle holds the
+    SAME sketch bit-for-bit:
+
+      h   = md5-derived 60-bit key hash (deterministic both engines)
+      j   = h mod 2^p  (register), w = h >> p  (rank word)
+      rank = Q − bitlength(w) + 1  (leading-zero count + 1; bitlength
+             via the base-2 string — Spark conv() and DuckDB
+             format('{:b}') agree exactly, w = 0 → Q + 1)
+      M_j  = MAX(rank) per register — an integer max, commutes
+      Z    = Σ_j 2^(S − M_j) as int64 (absent registers contribute
+             2^S), exact, order-independent
+      E    = α_m·m²·2^S / Z — ONE double division on exact ints.
+
+    Small-range correction (Flajolet §4): when E_raw ≤ 2.5m and empty
+    registers remain, the raw estimator biases high and the standard
+    fix is LINEAR COUNTING, E = m·ln(m/V_empty) — at the banked
+    sf0.001/sf0.01 the per-type user cardinality (150) sits squarely
+    in this regime (first cut shipped raw-only and measured +80%
+    bias; corrected ≈ +3%), while sf0.1's ~1500 users exercise the
+    raw branch, so BOTH arms are differentially pinned across the
+    banked SFs. The branch condition compares doubles derived from
+    exact ints (deterministic); ln carries the same ≤ 1-ulp libm
+    parity the other log-using lanes accept under the 4-dp round.
+    The `mode` column reports which arm fired.
+
+    Scale shape: the sketch pass is map-side (hash + rank exprs, all
+    JVM built-ins) into a (types × 256)-row MAX aggregate — partial
+    combine makes shuffle traffic per task ≤ types×256 tiny rows, the
+    treeAggregate shape. The exact COUNT(DISTINCT) side — the corpus
+    shuffle the sketch exists to REPLACE — is computed alongside as
+    the calibration ground truth, same pattern as l91's MinHash
+    calibration. At 100 TB you ship only the sketch half."""
+    events = load(spark, sf_dir, "events")
+    h = _md5_int60(
+        F.concat(F.lit("hll|"), F.col("user_id").cast("string"))
+    )
+    base = events.select("event_type", h.alias("hv"))
+    w = F.shiftright(F.col("hv"), HLL_P)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = F.when(w == 0, F.lit(HLL_Q + 1)).otherwise(
+        F.lit(HLL_Q + 1) - bitlen
+    )
+    regs = (
+        base.select(
+            "event_type",
+            (F.col("hv") % HLL_M).alias("j"),
+            rank.alias("rank"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_S} - m_j)")
+        ).alias("z_present"),
+        F.count("*").alias("registers_hit"),
+    )
+    v_empty = F.lit(HLL_M).cast("long") - F.col("registers_hit")
+    z = F.col("z_present") + v_empty * F.lit(1 << HLL_S)
+    est_raw = F.lit(_HLL_CONST) / z.cast("double")
+    use_lc = (est_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0)
+    est = F.when(
+        use_lc,
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(est_raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        agg.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "registers_hit",
+            F.when(use_lc, F.lit("linear")).otherwise(F.lit("raw")).alias(
+                "mode"
+            ),
+            F.round(est, 4).alias("hll_est"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+QUERIES["l95_hll_cardinality"] = l95_hll_cardinality
+
+_DUCK_HLL_Z = (
+    f"CAST(z_present + ({HLL_M} - registers_hit) "
+    f"* (1::BIGINT << {HLL_S}) AS DOUBLE)"
+)
+_DUCK_HLL_RAW = f"{_HLL_CONST!r} / {_DUCK_HLL_Z}"
+_DUCK_HLL_USE_LC = (
+    f"({_DUCK_HLL_RAW} <= {2.5 * HLL_M!r} "
+    f"AND registers_hit < {HLL_M})"
+)
+_DUCK_HLL_EST = (
+    f"CASE WHEN {_DUCK_HLL_USE_LC} THEN {float(HLL_M)!r} * "
+    f"ln({float(HLL_M)!r} / CAST({HLL_M} - registers_hit AS DOUBLE)) "
+    f"ELSE {_DUCK_HLL_RAW} END"
+)
+
+ORACLE["l95_hll_cardinality"] = f"""
+    WITH h AS (
+      SELECT event_type,
+             {_duck_md5_int60("'hll|' || CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {HLL_M} AS j,
+             CASE WHEN (hv >> {HLL_P}) = 0 THEN {HLL_Q + 1}
+                  ELSE {HLL_Q + 1}
+                       - length(format('{{:b}}', hv >> {HLL_P}))
+             END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, j, MAX(rank) AS m_j FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(1::BIGINT << ({HLL_S} - m_j)) AS z_present,
+             COUNT(*) AS registers_hit
+      FROM regs GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_exact,
+           CAST(registers_hit AS BIGINT) AS registers_hit,
+           CASE WHEN {_DUCK_HLL_USE_LC} THEN 'linear' ELSE 'raw' END
+             AS mode,
+           ROUND({_DUCK_HLL_EST}, 4) AS hll_est,
+           ROUND(({_DUCK_HLL_EST} - n_exact) / n_exact, 4) AS rel_err
+    FROM agg JOIN ex USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# l96: Bloom-filter membership screen (round 15 — the membership sketch,
+# joining count-min = frequency and HLL = cardinality in the family)
+# --------------------------------------------------------------------------
+
+#: Bloom geometry, sized so the false-positive rate is MEASURABLE at
+#: test scale (m = 512 bits, k = 3, n ≈ |docs|/97 reference keys →
+#: (1−e^{−kn/m})^k ≈ 1-2% at sf0.01 — large enough that the fp_rate
+#: column demonstrably exercises the FP-vs-member bookkeeping). A
+#: 100 TB run sizes m ≈ 10·n for the same k (the 1%-fp rule of thumb);
+#: the filter stays a broadcastable bitset either way.
+BLOOM_BITS = 512
+BLOOM_K = 3
+#: the held-out reference set: l23's benchmark convention (doc_id
+#: divisible by 97 plays the eval suite)
+L96_REF_MOD = 97
+
+
+def l96_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen — the SKETCH twin of l23's
+    exact train/test overlap join, and the shape that ships at 100 TB:
+    build a k-hash Bloom filter over the held-out set's canonical
+    fingerprints (bounded — eval benchmarks are small), BROADCAST the
+    ≤ m-bit filter, and screen the corpus map-side; only the rollup
+    shuffles. A Bloom hit is 'maybe contaminated' (route to the exact
+    verify), a miss is a GUARANTEED clean doc — the one-sided error
+    that lets the exact join run on the flagged sliver instead of the
+    corpus. The output calibrates the sketch: per source, exact
+    members vs Bloom-flagged vs false positives, with the measured
+    fp_rate against the non-member population.
+
+    Cross-engine exactness: every stage is integer/string built-ins —
+    the l4/l90 bag-of-words fingerprint, k md5-derived bit positions
+    (md5('bloom{i}|' || fp) mod m), the filter as the DISTINCT SET of
+    set positions (the same information as the packed bitmap, already
+    relation-shaped), membership = every probe position present
+    (MIN over hit markers), and integer rollups — so the DuckDB
+    oracle reproduces the filter bit-for-bit. One division (fp_rate),
+    NULL-guarded identically on both engines for an all-member
+    source."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+    base = docs.select(
+        "doc_id",
+        "source",
+        fp.alias("fp"),
+        (F.col("doc_id") % L96_REF_MOD == 0).alias("is_ref"),
+    )
+
+    def pos(i: int):
+        return _md5_int60(
+            F.concat(F.lit(f"bloom{i}|"), F.col("fp"))
+        ) % BLOOM_BITS
+
+    probe_arr = F.array(*[pos(i) for i in range(BLOOM_K)])
+    ref_fps = base.where(F.col("is_ref")).select("fp").distinct()
+    bits = (
+        ref_fps.select(F.explode(probe_arr).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = base.select(
+        "doc_id", "source", "fp", F.explode(probe_arr).alias("bit")
+    )
+    perdoc = (
+        probes.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "source", "fp")
+        .agg(
+            (F.min(F.coalesce(F.col("present"), F.lit(0))) == 1).alias(
+                "flagged"
+            )
+        )
+    )
+    labeled = perdoc.join(
+        F.broadcast(ref_fps.withColumn("is_member", F.lit(True))),
+        "fp",
+        "left",
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    rollup = labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        F.sum(
+            (F.col("flagged") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+    )
+    non_member = F.col("n_docs") - F.col("n_member")
+    return rollup.select(
+        "source",
+        "n_docs",
+        "n_member",
+        "n_flagged",
+        "n_false_pos",
+        F.when(
+            non_member > 0,
+            F.round(F.col("n_false_pos") / non_member, 4),
+        ).alias("fp_rate"),
+    )
+
+
+QUERIES["l96_bloom_contamination"] = l96_bloom_contamination
+
+_DUCK_L96_POS = (
+    _duck_md5_int60("'bloom' || i::VARCHAR || '|' || fp")
+    + f" % {BLOOM_BITS}"
+)
+
+ORACLE["l96_bloom_contamination"] = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp,
+             doc_id % {L96_REF_MOD} = 0 AS is_ref
+      FROM documents
+    ),
+    ref AS (SELECT DISTINCT fp FROM base WHERE is_ref),
+    bits AS (
+      SELECT DISTINCT {_DUCK_L96_POS} AS bit
+      FROM ref, range(0, {BLOOM_K}) t(i)
+    ),
+    probes AS (
+      SELECT doc_id, source, fp, {_DUCK_L96_POS} AS bit
+      FROM base, range(0, {BLOOM_K}) t(i)
+    ),
+    perdoc AS (
+      SELECT doc_id, source, fp,
+             MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1
+               AS flagged
+      FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY 1, 2, 3
+    ),
+    lab AS (
+      SELECT perdoc.*, fp IN (SELECT fp FROM ref) AS is_member
+      FROM perdoc
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN flagged AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CASE WHEN COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
+                     > 0
+                THEN ROUND(
+                  SUM(CASE WHEN flagged AND NOT is_member THEN 1 ELSE 0 END)
+                    ::DOUBLE
+                  / (COUNT(*)
+                     - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 4)
+           END AS fp_rate
+    FROM lab GROUP BY 1
+"""

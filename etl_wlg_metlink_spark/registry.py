@@ -233,6 +233,8 @@ _ORDER = (
     "l93_bpe_train",
     "l94_text_normalize",
     "s15_streaming_countmin",
+    "l95_hll_cardinality",
+    "l96_bloom_contamination",
 )
 
 

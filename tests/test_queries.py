@@ -3491,3 +3491,125 @@ def test_l94_normalize_nfc_controls_whitespace(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == expected
+
+
+def _hll_py(keys, p=8, q=52, s=54):
+    """Pure-Python mirror of l95's sketch — registers, harmonic sum,
+    and both estimator branches — for hand-checked parity."""
+    import hashlib
+    import math
+
+    m = 1 << p
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(f"hll|{k}".encode()).hexdigest()[:15], 16)
+        j, w = h % m, h >> p
+        rank = (q + 1) if w == 0 else (q + 1) - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rank)
+    z = sum(1 << (s - r) for r in regs.values()) + (m - len(regs)) * (1 << s)
+    alpha_const = (0.7213 / (1 + 1.079 / m)) * m * m * float(1 << s)
+    est = alpha_const / float(z)
+    if est <= 2.5 * m and len(regs) < m:
+        return "linear", float(m) * math.log(float(m) / (m - len(regs)))
+    return "raw", est
+
+
+def test_l95_hll_matches_pure_python_mirror(spark, tmp_path):
+    """The engine's HLL must equal a from-scratch Python computation of
+    the same sketch (registers, fixed-point harmonic sum, branch
+    selection) on a planted corpus — pinning md5 derivation, bitlength
+    rank, register max, and the linear-counting arm end to end."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    users = {"click": list(range(40)), "view": list(range(1000, 1015))}
+    rows = []
+    eid = 0
+    for et, us in users.items():
+        for u in us:
+            for _ in (0, 1):  # duplicates must not move the sketch
+                rows.append((eid, 1_700_000_000_000_000 + eid, u, et, 1.0, ""))
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in lp.l95_hll_cardinality(spark, str(tmp_path)).collect()
+    }
+    for et, us in users.items():
+        mode, est = _hll_py(us)
+        assert got[et]["n_exact"] == len(us)
+        assert got[et]["mode"] == mode == "linear"
+        assert got[et]["hll_est"] == round(est, 4)
+        assert got[et]["rel_err"] == round((est - len(us)) / len(us), 4)
+
+
+def test_l96_bloom_one_sided_error_and_planted_false_positive(
+    spark, tmp_path
+):
+    """Bloom's contract: NO false negatives (every exact member is
+    flagged), and a non-member whose k probe positions all collide
+    with set bits — found deterministically in pure Python against the
+    same md5 pipeline — must be flagged AND counted as a false
+    positive."""
+    import hashlib
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    def fp_of(text: str) -> str:
+        ws = sorted(set(text.split(" ")))
+        return hashlib.md5(" ".join(ws).encode()).hexdigest()
+
+    def positions(fp: str) -> set:
+        return {
+            int(hashlib.md5(f"bloom{i}|{fp}".encode()).hexdigest()[:15], 16)
+            % lp.BLOOM_BITS
+            for i in range(lp.BLOOM_K)
+        }
+
+    # reference docs at ids divisible by the mod; enough of them to
+    # set a dense bit pattern, so a colliding non-member exists
+    ref_ids = [lp.L96_REF_MOD * i for i in range(1, 61)]
+    set_bits: set = set()
+    rows = []
+    for rid in ref_ids:
+        text = f"ref doc number {rid}"
+        set_bits |= positions(fp_of(text))
+        rows.append((rid, text, "en", "refsrc", 0))
+
+    # deterministic search for one colliding and one clean non-member
+    fp_text = clean_text = None
+    i = 0
+    while fp_text is None or clean_text is None:
+        i += 1
+        cand = f"probe candidate {i}"
+        if positions(fp_of(cand)) <= set_bits:
+            fp_text = fp_text or cand
+        else:
+            clean_text = clean_text or cand
+    rows.append((1, fp_text, "en", "probesrc", 0))      # planted FP
+    rows.append((2, clean_text, "en", "probesrc", 0))   # guaranteed miss
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars int",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in lp.l96_bloom_contamination(spark, str(tmp_path)).collect()
+    }
+    ref = got["refsrc"]
+    # one-sided error: every member flagged, no member missed
+    assert ref["n_member"] == ref["n_flagged"] == len(ref_ids)
+    assert ref["n_false_pos"] == 0
+    probe = got["probesrc"]
+    assert probe["n_docs"] == 2 and probe["n_member"] == 0
+    assert probe["n_flagged"] == 1 and probe["n_false_pos"] == 1
+    assert probe["fp_rate"] == 0.5
