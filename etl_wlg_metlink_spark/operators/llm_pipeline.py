@@ -10775,6 +10775,20 @@ def l95_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calibration ground truth, same pattern as l91's MinHash
     calibration. At 100 TB you ship only the sketch half."""
     events = load(spark, sf_dir, "events")
+    regs = _hll_ranks(events).groupBy("event_type", "j").agg(
+        F.max("rank").alias("m_j")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return _hll_finalize(regs, exact)
+
+
+def _hll_ranks(events: DataFrame) -> DataFrame:
+    """(event_type, register j, rank) per event row — the map-side
+    sketch expressions (all JVM built-ins), shared by l95's batch pass
+    and s16's per-micro-batch pass so the two sketches are the SAME
+    sketch."""
     h = _md5_int60(
         F.concat(F.lit("hll|"), F.col("user_id").cast("string"))
     )
@@ -10784,15 +10798,18 @@ def l95_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(w == 0, F.lit(HLL_Q + 1)).otherwise(
         F.lit(HLL_Q + 1) - bitlen
     )
-    regs = (
-        base.select(
-            "event_type",
-            (F.col("hv") % HLL_M).alias("j"),
-            rank.alias("rank"),
-        )
-        .groupBy("event_type", "j")
-        .agg(F.max("rank").alias("m_j"))
+    return base.select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("j"),
+        rank.alias("rank"),
     )
+
+
+def _hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Merged registers (event_type, j, m_j) + exact counts → the
+    calibrated estimate relation. ONE estimator shared by l95 (batch)
+    and s16 (streaming serve), so the lanes cannot drift; both
+    therefore share l95's DuckDB oracle verbatim."""
     agg = regs.groupBy("event_type").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_S} - m_j)")
@@ -10807,9 +10824,6 @@ def l95_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_lc,
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
     ).otherwise(est_raw)
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
     return (
         agg.join(F.broadcast(exact), "event_type")
         .select(

@@ -235,6 +235,7 @@ _ORDER = (
     "s15_streaming_countmin",
     "l95_hll_cardinality",
     "l96_bloom_contamination",
+    "s16_streaming_hll",
 )
 
 

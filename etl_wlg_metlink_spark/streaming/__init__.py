@@ -696,3 +696,29 @@ ORACLE["s15_streaming_countmin"] = f"""
     FROM probes JOIN sketch USING (r, bkt)
     GROUP BY k, c
 """
+
+
+def s16_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance: per-micro-batch partial
+    register grids (≤ types×256 rows each) appended to a ledger and
+    MAX-merged on the serving read (runners.hll_ingest_run). MAX is
+    associative AND idempotent, so the merge needs no exactly-once
+    restore — the simplest member of the sketch-maintenance family
+    (contrast s15's SUM-merged count-min). Serving runs l95's shared
+    estimator, so the lane reuses l95's DuckDB oracle verbatim:
+    stream equals batch because max(max(A), max(B)) = max(A ∪ B)."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.hll_ingest_run(spark, sf_dir)
+    )
+
+
+QUERIES["s16_streaming_hll"] = s16_streaming_hll
+
+from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
+    ORACLE as _LP_ORACLE,
+)
+
+#: shared verbatim with l95 — one estimator (_hll_finalize), one oracle
+ORACLE["s16_streaming_hll"] = _LP_ORACLE["l95_hll_cardinality"]

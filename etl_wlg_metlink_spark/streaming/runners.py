@@ -1188,3 +1188,74 @@ def countmin_ingest_run(
             (F.col("est") - F.col("c")).alias("overcount"),
         )
     )
+
+
+def hll_ingest_run(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance — the streaming twin of l95
+    and the cleanest member of the sketch-maintenance family: the HLL
+    register grid merges by per-register MAX, which is associative
+    AND idempotent, so unlike s15's SUM-merged count-min the ledger
+    needs NO exactly-once restore stage — an availableNow replay that
+    re-appends a batch's identical register rows cannot move a MAX.
+    Each micro-batch reduces to its own ≤ types×256 partial register
+    rows inside foreachBatch (map+combine, the stream itself never
+    shuffles whole) and appends them batch_id-stamped (the stamp is
+    audit metadata only); the serving read MAX-merges the ledger and
+    runs l95's shared estimator (_hll_finalize — one estimator, so
+    stream and batch cannot drift and s16 shares l95's DuckDB oracle
+    verbatim). Stream equals batch because max(max(A), max(B)) =
+    max(A ∪ B).
+
+    Scale shape: ledger grows by ≤ types×256 rows per batch; serving
+    is a (types×256)-key hash-agg; per-batch state is the constant
+    register grid. The exact COUNT(DISTINCT) calibration side reads
+    the staged table once — at 100 TB you ship only the sketch half
+    (that corpus-wide distinct shuffle is what the lane replaces)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _hll_finalize,
+        _hll_ranks,
+    )
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    stage = staged_events_dir(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    ledger_dir = _tracked_mkdtemp(prefix="hll_reg_ledger_")
+    checkpoint_dir = _tracked_mkdtemp(prefix="hll_ckpt_")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _hll_ranks(batch_df)
+            .groupBy("event_type", "j")
+            .agg(F.max("rank").alias("m_j"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    regs = (
+        spark.read.parquet(ledger_dir)
+        .groupBy("event_type", "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    exact = (
+        spark.read.parquet(stage)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return _hll_finalize(regs, exact)

@@ -1049,3 +1049,23 @@ def test_s15_streaming_cms_matches_pure_python_and_batch(spark, sf_dir):
     for k, (c, e) in expected.items():
         assert got[k] == (c, e, e - c)
         assert e >= c
+
+
+def test_s16_hll_stream_equals_batch_for_any_split(spark, sf_dir):
+    """The HLL register merge is associative + idempotent, so the
+    streamed sketch must equal l95's batch sketch EXACTLY regardless
+    of how the replay is split into micro-batches."""
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+    from etl_wlg_metlink_spark.streaming import runners
+
+    batch = sorted(
+        map(tuple, lp.l95_hll_cardinality(spark, sf_dir).collect())
+    )
+    for nb in (2, 4):
+        got = sorted(
+            map(
+                tuple,
+                runners.hll_ingest_run(spark, sf_dir, n_batches=nb).collect(),
+            )
+        )
+        assert got == batch, f"n_batches={nb} diverged from batch"
