@@ -10900,13 +10900,18 @@ ORACLE["l95_hll_cardinality"] = f"""
 # joining count-min = frequency and HLL = cardinality in the family)
 # --------------------------------------------------------------------------
 
-#: Bloom geometry, sized so the false-positive rate is MEASURABLE at
-#: test scale (m = 512 bits, k = 3, n ≈ |docs|/97 reference keys →
-#: (1−e^{−kn/m})^k ≈ 1-2% at sf0.01 — large enough that the fp_rate
-#: column demonstrably exercises the FP-vs-member bookkeeping). A
-#: 100 TB run sizes m ≈ 10·n for the same k (the 1%-fp rule of thumb);
-#: the filter stays a broadcastable bitset either way.
-BLOOM_BITS = 512
+#: Bloom geometry: the filter is SIZED FROM THE MANIFEST — m = the
+#: next power of two ≥ BLOOM_BITS_PER_KEY·n_ref — so the
+#: false-positive rate stays ~constant (≈1-2% at 10 bits/key, k = 3)
+#: at EVERY corpus scale instead of saturating when the reference set
+#: grows (a fixed m = 512 measured 1.7% FP at sf0.1 but would hit
+#: ~86% at sf1's ~515 refs — the classic undersized-Bloom failure).
+#: The power-of-two step is computed with the l95 bitlength trick
+#: (1 << bitlength(10n − 1)), exact on both engines — never
+#: floor(log2(·)), whose libm rounding could split engines at exact
+#: powers of two. The filter stays a broadcastable bitset at any SF
+#: (10 bits/key over a manifest-sized n).
+BLOOM_BITS_PER_KEY = 10
 BLOOM_K = 3
 #: the held-out reference set: l23's benchmark convention (doc_id
 #: divisible by 97 plays the eval suite)
@@ -10944,20 +10949,30 @@ def l96_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fp"),
         (F.col("doc_id") % L96_REF_MOD == 0).alias("is_ref"),
     )
+    ref_fps = base.where(F.col("is_ref")).select("fp").distinct()
+    # manifest-sized filter: 1-row (mbits) scalar broadcast onto both
+    # the build and the probe sides (the sanctioned bounded BNLJ)
+    mbits_df = ref_fps.agg(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), length(conv(CAST("
+            f"greatest({BLOOM_BITS_PER_KEY} * count(*) - 1, 1)"
+            " AS STRING), 10, 2)))"
+        ).alias("mbits")
+    )
 
     def pos(i: int):
         return _md5_int60(
             F.concat(F.lit(f"bloom{i}|"), F.col("fp"))
-        ) % BLOOM_BITS
+        ) % F.col("mbits")
 
     probe_arr = F.array(*[pos(i) for i in range(BLOOM_K)])
-    ref_fps = base.where(F.col("is_ref")).select("fp").distinct()
     bits = (
-        ref_fps.select(F.explode(probe_arr).alias("bit"))
+        ref_fps.crossJoin(F.broadcast(mbits_df))
+        .select(F.explode(probe_arr).alias("bit"))
         .distinct()
         .withColumn("present", F.lit(1))
     )
-    probes = base.select(
+    probes = base.crossJoin(F.broadcast(mbits_df)).select(
         "doc_id", "source", "fp", F.explode(probe_arr).alias("bit")
     )
     perdoc = (
@@ -10999,8 +11014,7 @@ def l96_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["l96_bloom_contamination"] = l96_bloom_contamination
 
 _DUCK_L96_POS = (
-    _duck_md5_int60("'bloom' || i::VARCHAR || '|' || fp")
-    + f" % {BLOOM_BITS}"
+    _duck_md5_int60("'bloom' || i::VARCHAR || '|' || fp") + " % mbits"
 )
 
 ORACLE["l96_bloom_contamination"] = f"""
@@ -11013,13 +11027,19 @@ ORACLE["l96_bloom_contamination"] = f"""
       FROM documents
     ),
     ref AS (SELECT DISTINCT fp FROM base WHERE is_ref),
+    mb AS (
+      SELECT (1::BIGINT << length(format('{{:b}}',
+                greatest({BLOOM_BITS_PER_KEY} * COUNT(*) - 1, 1))))
+               AS mbits
+      FROM ref
+    ),
     bits AS (
       SELECT DISTINCT {_DUCK_L96_POS} AS bit
-      FROM ref, range(0, {BLOOM_K}) t(i)
+      FROM ref, range(0, {BLOOM_K}) t(i), mb
     ),
     probes AS (
       SELECT doc_id, source, fp, {_DUCK_L96_POS} AS bit
-      FROM base, range(0, {BLOOM_K}) t(i)
+      FROM base, range(0, {BLOOM_K}) t(i), mb
     ),
     perdoc AS (
       SELECT doc_id, source, fp,

@@ -3566,16 +3566,18 @@ def test_l96_bloom_one_sided_error_and_planted_false_positive(
         ws = sorted(set(text.split(" ")))
         return hashlib.md5(" ".join(ws).encode()).hexdigest()
 
-    def positions(fp: str) -> set:
-        return {
-            int(hashlib.md5(f"bloom{i}|{fp}".encode()).hexdigest()[:15], 16)
-            % lp.BLOOM_BITS
-            for i in range(lp.BLOOM_K)
-        }
-
     # reference docs at ids divisible by the mod; enough of them to
     # set a dense bit pattern, so a colliding non-member exists
     ref_ids = [lp.L96_REF_MOD * i for i in range(1, 61)]
+    # manifest-adaptive filter size, the engine's exact formula
+    mbits = 1 << (lp.BLOOM_BITS_PER_KEY * len(ref_ids) - 1).bit_length()
+
+    def positions(fp: str) -> set:
+        return {
+            int(hashlib.md5(f"bloom{i}|{fp}".encode()).hexdigest()[:15], 16)
+            % mbits
+            for i in range(lp.BLOOM_K)
+        }
     set_bits: set = set()
     rows = []
     for rid in ref_ids:
