@@ -3521,7 +3521,11 @@ def test_l95_hll_matches_pure_python_mirror(spark, tmp_path):
     rank, register max, and the linear-counting arm end to end."""
     from etl_wlg_metlink_spark.operators import llm_pipeline as lp
 
-    users = {"click": list(range(40)), "view": list(range(1000, 1015))}
+    users = {
+        "click": list(range(40)),          # linear-counting regime
+        "view": list(range(1000, 1015)),   # linear-counting regime
+        "bulk": list(range(5000, 7000)),   # raw-HLL regime (E > 2.5m)
+    }
     rows = []
     eid = 0
     for et, us in users.items():
@@ -3545,9 +3549,12 @@ def test_l95_hll_matches_pure_python_mirror(spark, tmp_path):
     for et, us in users.items():
         mode, est = _hll_py(us)
         assert got[et]["n_exact"] == len(us)
-        assert got[et]["mode"] == mode == "linear"
+        assert got[et]["mode"] == mode
         assert got[et]["hll_est"] == round(est, 4)
         assert got[et]["rel_err"] == round((est - len(us)) / len(us), 4)
+    # both estimator arms actually exercised
+    assert got["click"]["mode"] == "linear"
+    assert got["bulk"]["mode"] == "raw"
 
 
 def test_l96_bloom_one_sided_error_and_planted_false_positive(
