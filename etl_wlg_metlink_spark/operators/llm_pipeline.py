@@ -10755,6 +10755,16 @@ def l95_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
              2^S), exact, order-independent
       E    = α_m·m²·2^S / Z — ONE double division on exact ints.
 
+    Relation to r12_approx_distinct (relational.py): SAME portable-HLL
+    construction (md5 hash, bitlength rank, exact-int harmonic sum),
+    deliberately two lanes — r12 is the GLOBAL relational operator
+    (one corpus-wide 4096-register set, estimate-only, accuracy pinned
+    in pytest because the exact twin was its slowest-sf1-lane cost),
+    l95 is the GROUPED calibration form (per-key register sets, the
+    exact COUNT(DISTINCT) carried in-lane as ground truth, both
+    estimator branches exercised across the banked SFs) with s16 as
+    its streaming-maintenance twin.
+
     Small-range correction (Flajolet §4): when E_raw ≤ 2.5m and empty
     registers remain, the raw estimator biases high and the standard
     fix is LINEAR COUNTING, E = m·ln(m/V_empty) — at the banked

@@ -286,7 +286,11 @@ def r12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo-wide portability rule) so the ESTIMATE itself is
     bit-identical on both engines and gets a full value oracle —
     unlike approx_count_distinct, whose HLL++ registers are
-    engine-private. The 5%-of-exact accuracy check lives in pytest
+    engine-private. (l95_hll_cardinality is the GROUPED calibration
+    form of this same construction — per-key registers with the exact
+    twin carried in-lane — and s16 its streaming maintenance; this
+    lane stays the global estimate-only relational op.) The
+    5%-of-exact accuracy check lives in pytest
     (tests/test_relational.py), NOT in the benched lane: the exact
     count_distinct it needs is an expand+shuffle over every row, and
     carrying it made r12 the slowest sf1 lane (24.2 s, VERDICT r10
