@@ -106,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint = args.checkpoint or tempfile.mkdtemp(
             prefix="metlink_schedule_ckpt_"
         )
+        # Surface the resolved checkpoint even when defaulted: a failed
+        # invocation is only resumable if the operator can re-pass this
+        # path, and a silent mkdtemp would strand the run's progress.
+        print(f"checkpoint: {checkpoint}", file=sys.stderr)
+        if not args.checkpoint:
+            print(
+                "warning: no --checkpoint given; using a temp dir — "
+                "re-invocations will NOT be exactly-once. Pass "
+                "--checkpoint <stable-dir> for scheduled use.",
+                file=sys.stderr,
+            )
         counters = {"submitted": 0, "batches": 0}
 
         def poster(fc: dict) -> None:

@@ -81,6 +81,24 @@ class MetlinkConfig:
                 f"config file {path}: unknown keys {unknown}; "
                 f"expected a subset of {sorted(inv)}"
             )
+        defaults = {f.name: f.default for f in fields(cls)}
+        bad = sorted(
+            k
+            for k, v in data.items()
+            if not (
+                isinstance(v, bool)
+                if isinstance(defaults[inv[k]], bool)
+                else isinstance(v, str)
+            )
+        )
+        if bad:
+            raise ValueError(
+                f"config file {path}: wrong value types for {bad}; "
+                "toggle keys require JSON true/false and "
+                "METLINK_API_KEY requires a string "
+                '(e.g. {"Show_Buses": "false"} is a truthy STRING, '
+                "not the false the author meant)"
+            )
         return cls.from_env(**{inv[k]: v for k, v in data.items()})
 
     @classmethod

@@ -1144,12 +1144,24 @@ def l16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = emb.select(assign_with_dist("embedding").alias("a")).select(
         F.col("a.k").alias("cluster"), F.col("a.idist").alias("idist")
     )
+    # Inertia sums ~2^28-scale int64 terms; a plain long SUM would wrap
+    # silently under ANSI-off at ~2^35 rows/cluster while the oracle's
+    # DuckDB SUM widens to HUGEINT (the l87 divergence class). Sum in
+    # decimal(38,0) — same exact integers inside the headroom — and
+    # promote an overflow NULL to a loud error so both engines fail the
+    # same way past ~10^29 rows (ADVICE r15).
+    isum = F.sum(F.col("idist").cast("decimal(38,0)"))
+    isum_guarded = F.when(isum.isNotNull(), isum).otherwise(
+        F.raise_error(
+            F.lit("l16 inertia overflowed decimal(38,0); shard the corpus")
+        ).cast("decimal(38,0)")
+    )
     return (
         final.groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
             F.round(
-                F.sum("idist").cast("double") / F.lit(float(IVF_FP_SCALE)), 4
+                isum_guarded.cast("double") / F.lit(float(IVF_FP_SCALE)), 4
             ).alias("inertia"),
         )
         .orderBy("cluster")

@@ -93,7 +93,20 @@ def schema(schema_type: str = "input", flow: str = "incoming"):
       (MetlinkResponse, task.ts:131-132).
     - outgoing  + *     → an empty object schema (task.ts:134-135 —
       the task has no outgoing flow).
+
+    Unknown ``schema_type``/``flow`` literals raise ValueError: the
+    reference's dispatch is over compile-time enums, so a typo there
+    is impossible — lenient fallback here would silently hand a
+    caller the wrong schema.
     """
+    if schema_type not in ("input", "output"):
+        raise ValueError(
+            f"unknown schema_type {schema_type!r}; expected 'input' or 'output'"
+        )
+    if flow not in ("incoming", "outgoing"):
+        raise ValueError(
+            f"unknown flow {flow!r}; expected 'incoming' or 'outgoing'"
+        )
     if flow == "incoming":
         if schema_type == "input":
             from etl_wlg_metlink_spark.config import MetlinkConfig

@@ -141,3 +141,75 @@ def test_cli_config_file_unknown_key_is_loud(tmp_path):
     cfg.write_text(json.dumps({"Show_Busses": False}))
     with pytest.raises(ValueError, match="Show_Busses"):
         MetlinkConfig.from_file_env(str(cfg))
+
+
+def test_cli_config_file_wrong_value_type_is_loud(tmp_path):
+    """ADVICE r15: {"Show_Buses": "false"} is a truthy STRING — a
+    natural mistake when porting env-var configs — and must fail the
+    invocation instead of silently enabling the toggle."""
+    import pytest
+
+    from etl_wlg_metlink_spark.config import MetlinkConfig
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"Show_Buses": "false"}))
+    with pytest.raises(ValueError, match="Show_Buses"):
+        MetlinkConfig.from_file_env(str(cfg))
+
+    cfg.write_text(json.dumps({"METLINK_API_KEY": 42}))
+    with pytest.raises(ValueError, match="METLINK_API_KEY"):
+        MetlinkConfig.from_file_env(str(cfg))
+
+    # correct types still resolve
+    cfg.write_text(
+        json.dumps({"Show_Buses": False, "METLINK_API_KEY": "k"})
+    )
+    got = MetlinkConfig.from_file_env(str(cfg))
+    assert got.show_buses is False and got.metlink_api_key == "k"
+
+
+def test_cli_schedule_default_checkpoint_is_surfaced(tmp_path, capsys):
+    """ADVICE r15: a defaulted (mkdtemp) checkpoint must be echoed to
+    stderr so a failed run can be resumed, plus a loud not-exactly-once
+    warning."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        json.dumps({"header": {"timestamp": 1}, "entity": FIXTURE_ENTITIES[:1]})
+    )
+    rc = main(["--schedule", str(landing)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "checkpoint: " in err
+    assert "NOT be exactly-once" in err
+    ckpt = [
+        line.split("checkpoint: ", 1)[1]
+        for line in err.splitlines()
+        if line.startswith("checkpoint: ")
+    ][0]
+    import os
+    import shutil
+
+    assert os.path.isdir(ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_schema_dispatch_rejects_unknown_literals():
+    """ADVICE r15: schema() validates its literals — a caller typo
+    ('Input', 'in') raises instead of silently returning the GTFS-RT
+    output schema."""
+    import pytest
+
+    from etl_wlg_metlink_spark import schemas
+
+    with pytest.raises(ValueError, match="schema_type"):
+        schemas.schema("Input", "incoming")
+    with pytest.raises(ValueError, match="flow"):
+        schemas.schema("input", "in")
+    # the three legitimate dispatch arms still work
+    assert schemas.schema("input", "incoming")["type"] == "object"
+    assert schemas.schema("output", "incoming").fieldNames() == [
+        "header",
+        "entity",
+    ]
+    assert len(schemas.schema("input", "outgoing").fields) == 0
