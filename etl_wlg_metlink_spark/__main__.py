@@ -32,7 +32,10 @@ import os
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The CLI surface, buildable without side effects — the deploy
+    unit's test parses the Dockerfile ENTRYPOINT/CMD through this to
+    prove the shipped image invokes exactly the tested surface."""
     ap = argparse.ArgumentParser(prog="python -m etl_wlg_metlink_spark")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--fixture", help="path to a GTFS-RT VehiclePositions JSON file")
@@ -76,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
         "$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.001)",
     )
     ap.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
 
     from etl_wlg_metlink_spark.config import MetlinkConfig
     from etl_wlg_metlink_spark.pipelines import metlink

@@ -403,6 +403,12 @@ def _minhash_verified_pairs(
     base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
         "doc_id", _shingles_ws(F.col("ws")).alias("sh")
     )
+    # Shingle-less docs (empty / < 3 words) carry no MinHash signature:
+    # exclude them, as l7 excludes empty char-gram sets. Left in, they
+    # all share ONE degenerate all-NULL band key — a quadratic skew
+    # bucket of 0/0-jaccard junk pairs (the web's empty docs are a huge
+    # key at 100 TB). Exact dedup (l5) still owns empty==empty.
+    base = base.where(F.size("sh") > 0)
     hashed = base.select(
         "doc_id",
         # one md5 per shingle; the N_MINHASH permutations are integer-only
@@ -603,7 +609,7 @@ def _brute_topk(emb: DataFrame, n_queries: int, k: int, include_label: bool) -> 
     cols = ["vec_id", "embedding"] + (["label"] if include_label else [])
     corpus = emb.select(
         *cols, F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm")
-    )
+    ).where(F.col("norm") > 0)  # zero vectors have no direction (see _ivf_corpus)
     qcols = [
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -662,7 +668,7 @@ def l11_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    ).where(F.col("norm") > 0)
     q = corpus.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("own_label"),
@@ -944,7 +950,7 @@ def l14_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         _bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).where(F.col("norm") > 0)
     probe_keys = F.array(
         F.col("bucket"),
         *[
@@ -1235,12 +1241,21 @@ _DUCK_IVF_MOD = (
 def _ivf_corpus(emb: DataFrame) -> DataFrame:
     """Corpus projection for the IVF lanes: each vector with its norm
     (same sequential-fold double math as l9, so every downstream sim
-    is IEEE-identical to the SQL oracle)."""
+    is IEEE-identical to the SQL oracle).
+
+    Zero-norm vectors are EXCLUDED from every cosine-space relation
+    (here and the l9/l11/l14 corpora; _DUCK_COSINE_CORPUS applies the
+    same `norm > 0`): a zero embedding has no direction, cosine is
+    0/0, and under ANSI one such row — a failed encoder call is
+    routine at 100 TB — would otherwise kill the whole job (found by
+    the r16 adversarial corpus). The √N seed stride stays sized from
+    the UNFILTERED manifest count on both engines (_ivf_mod(n) /
+    _DUCK_IVF_MOD), so sizing and membership can't drift."""
     return emb.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    ).where(F.col("norm") > 0)
 
 
 def _argmax_cells(q, norm, cent, cnorm):
@@ -2383,12 +2398,18 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb = emb.select("vec_id", "label", xd.alias("x"))
     scale = F.array_max(F.transform(F.col("x"), F.abs))
+    # scale = 0 (the all-zero vector) quantizes to all zeros by
+    # definition — an explicit rule on BOTH engines, or ANSI division
+    # kills the job on one degenerate row (r16 adversarial corpus).
     q = F.transform(
         F.col("x"),
-        lambda v: F.greatest(
-            F.lit(-127.0),
-            F.least(F.lit(127.0), F.floor(v / F.col("scale") * 127 + 0.5)),
-        ),
+        lambda v: F.when(
+            F.col("scale") > 0,
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(v / F.col("scale") * 127 + 0.5)),
+            ),
+        ).otherwise(F.lit(0.0)),
     )
     err = F.zip_with(
         F.col("x"),
@@ -4448,10 +4469,12 @@ _DUCK_SIMHASH_ASSEMBLE = " + ".join(
 )
 
 _DUCK_COSINE_CORPUS = """
-          SELECT vec_id, label, embedding,
-                 sqrt(list_sum(list_transform(embedding,
-                   x -> x::DOUBLE * x::DOUBLE))) AS norm
-          FROM embeddings
+          SELECT * FROM (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))) AS norm
+            FROM embeddings
+          ) WHERE norm > 0
 """
 _DUCK_DOT_QC = (
     "list_sum(list_transform(range(1, 65), "
@@ -4534,7 +4557,7 @@ _DUCK_L6_CTES = f"""sh AS ({_DUCK_SHINGLES}),
           SELECT doc_id,
                  list_transform(sh, x ->
                    {_duck_md5_int60('x')} % {MERSENNE_P}) AS hs
-          FROM sh
+          FROM sh WHERE len(sh) > 0
         ),
         sig AS (
           SELECT doc_id, {_DUCK_MH}
@@ -5261,8 +5284,10 @@ ORACLE = {
           FROM xs
         ), qd AS (
           SELECT vec_id, label, x, scale,
-                 list_transform(x, v -> greatest(-127.0,
-                   least(127.0, floor(v / scale * 127 + 0.5)))) AS q
+                 list_transform(x, v -> CASE WHEN scale > 0 THEN
+                   greatest(-127.0,
+                     least(127.0, floor(v / scale * 127 + 0.5)))
+                   ELSE 0.0 END) AS q
           FROM sc
         ), e AS (
           SELECT vec_id, label, q,
@@ -7682,6 +7707,12 @@ def l72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
         "doc_id", _shingles_ws(F.col("ws")).alias("sh")
     )
+    # Shingle-less docs (empty / < 3 words) carry no MinHash signature:
+    # exclude them, as l7 excludes empty char-gram sets. Left in, they
+    # all share ONE degenerate all-NULL band key — a quadratic skew
+    # bucket of 0/0-jaccard junk pairs (the web's empty docs are a huge
+    # key at 100 TB). Exact dedup (l5) still owns empty==empty.
+    base = base.where(F.size("sh") > 0)
     hashed = base.select(
         "doc_id",
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias(
@@ -8843,7 +8874,7 @@ def l79_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    ).where(F.col("norm") > 0)  # cosine-family rule, see _ivf_corpus
     comp = corpus.select(
         "label", "norm", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -8906,7 +8937,7 @@ ORACLE["l79_corpus_diversity"] = f"""
     ),
     nl AS (
       SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs
-      FROM embeddings GROUP BY 1
+      FROM c GROUP BY 1
     ),
     pl AS (
       SELECT label, SUM(s * s) AS s2, SUM(ss) AS ssq
@@ -8918,7 +8949,7 @@ ORACLE["l79_corpus_diversity"] = f"""
              SUM(ss) AS ssq
       FROM gd
     ),
-    ng AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    ng AS (SELECT COUNT(*) AS n_vecs FROM c),
     u AS (
       SELECT pl.label, pl.s2, pl.ssq, nl.n_vecs
       FROM pl JOIN nl USING (label)
@@ -9188,6 +9219,10 @@ def l82_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score rounds before the fence comparison — both engines compare
     identical doubles, so the action partition is deterministic."""
     emb = load(spark, sf_dir, "embeddings")
+    # the zero vector has no direction: it can neither be scored
+    # against a prototype nor contribute one (cosine-family rule —
+    # see _ivf_corpus); exact element test, no float subtlety
+    emb = emb.where(F.exists("embedding", lambda x: x != F.lit(0.0)))
     comp = emb.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -9207,12 +9242,20 @@ def l82_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("x") * F.col("x")), 4).alias("sx2"),
         )
     )
-    cosd = per_vec.join(F.broadcast(cent_norm), "label").select(
-        "vec_id",
-        "label",
-        F.round(
-            F.col("dot") / F.sqrt(F.col("sx2") * F.col("sm2")), 4
-        ).alias("cos_to_centroid"),
+    # sx2 rounds at 4 dp, so a sub-1e-2-norm vector (adversarial 1e-30
+    # magnitudes) hits the fixed-point floor: below it there is no
+    # direction information at this precision — excluded from scoring
+    # on both engines (the oracle mirrors the sx2 > 0 filter).
+    cosd = (
+        per_vec.join(F.broadcast(cent_norm), "label")
+        .where(F.col("sx2") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("sx2") * F.col("sm2")), 4
+            ).alias("cos_to_centroid"),
+        )
     )
     stats = cosd.groupBy("label").agg(
         F.avg("cos_to_centroid").alias("mu"),
@@ -9246,6 +9289,7 @@ ORACLE["l82_prototype_prune"] = f"""
       SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS dim,
              embedding[i]::DOUBLE AS x
       FROM embeddings, range(1, 65) AS t(i)
+      WHERE len(list_filter(embedding, v -> v != 0)) > 0
     ),
     cent AS (
       SELECT label, dim, ROUND(AVG(x), 6) AS m
@@ -9265,6 +9309,7 @@ ORACLE["l82_prototype_prune"] = f"""
       SELECT vec_id, label,
              ROUND(dot / sqrt(sx2 * sm2), 4) AS cos_to_centroid
       FROM pv JOIN cn USING (label)
+      WHERE sx2 > 0
     ),
     st AS (
       SELECT label, AVG(cos_to_centroid) AS mu,
@@ -10076,6 +10121,12 @@ def l91_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", _words(F.col("text")).alias("ws")).select(
         "doc_id", _shingles_ws(F.col("ws")).alias("sh")
     )
+    # Shingle-less docs (empty / < 3 words) carry no MinHash signature:
+    # exclude them, as l7 excludes empty char-gram sets. Left in, they
+    # all share ONE degenerate all-NULL band key — a quadratic skew
+    # bucket of 0/0-jaccard junk pairs (the web's empty docs are a huge
+    # key at 100 TB). Exact dedup (l5) still owns empty==empty.
+    base = base.where(F.size("sh") > 0)
     hashed = base.select(
         "doc_id",
         F.transform(F.col("sh"), lambda x: _md5_int60(x) % MERSENNE_P).alias(
