@@ -442,9 +442,10 @@ def x19_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             # mod 251 per text (codepoints, not bytes, so the DuckDB
             # twin is unicode()-expressible)
             arr = text.to_pylist()
-            # degenerate-row guard: None/empty text checksums to 0 so
-            # the lane agrees with the oracle's COALESCE(list_sum,0)
-            # (list_sum over an empty list is NULL in DuckDB)
+            # degenerate-row guard: None/empty text checksums to 0; the
+            # oracle spells the same rule as an explicit empty-text CASE
+            # (DuckDB string_split('', '') is [''], whose unicode() is
+            # -1, not an empty list — r16 adversarial corpus)
             chk = pa.array(
                 [0 if not t else sum(ord(c) for c in t) % 251 for t in arr],
                 type=pa.int64(),
@@ -553,7 +554,7 @@ ORACLE = {
     """,
     "x5_map_funcs": """
         SELECT event_id,
-               array_to_string(json_keys(props), ',') AS keys,
+               COALESCE(array_to_string(json_keys(props), ','), '') AS keys,
                CAST(props->>'k' AS BIGINT) AS k_value,
                len(json_keys(props)) AS n_keys
         FROM events
@@ -580,7 +581,8 @@ ORACLE = {
         SELECT event_id,
                CAST(props->>'k' AS BIGINT) AS k_value,
                NULL::BIGINT AS missing_value,
-               'OBJECT<k: BIGINT>' AS v_schema
+               CASE WHEN len(json_keys(props)) = 0 THEN 'OBJECT<>'
+                    ELSE 'OBJECT<k: BIGINT>' END AS v_schema
         FROM events
     """,
     "x14_try_functions": """
@@ -677,8 +679,9 @@ ORACLE["x19_map_in_arrow"] = """
     WITH b AS (
       SELECT doc_id, lang,
              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             COALESCE(list_sum(list_transform(string_split(text, ''),
-                      c -> unicode(c))), 0) % 251 AS checksum
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE list_sum(list_transform(string_split(text, ''),
+                       c -> unicode(c))) % 251 END AS checksum
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,

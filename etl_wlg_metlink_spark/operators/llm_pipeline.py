@@ -10583,7 +10583,14 @@ def l94_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), r"[\x00-\x1f\x7f]", ""
     )
     composed = nfc(stripped)
-    norm = F.trim(F.regexp_replace(composed, r"\s+", " "))
+    # [\s\p{Zs}] not bare \s: both engines' regex \s is ASCII-only, so
+    # U+00A0-class spaces (ubiquitous in web text) would survive the
+    # collapse — and DuckDB's trim() strips Unicode spaces while
+    # Spark's strips ASCII only, so the engines would then disagree on
+    # a leading NBSP (r16 adversarial corpus). \p{Zs} is the Unicode
+    # space-separator category, supported by Java regex and RE2 alike;
+    # U+200B ZWSP is Cf, not Zs — deliberately NOT whitespace.
+    norm = F.trim(F.regexp_replace(composed, r"[\s\p{Zs}]+", " "))
     return docs.select(
         "doc_id",
         norm.alias("_n"),
@@ -10603,7 +10610,7 @@ ORACLE["l94_text_normalize"] = r"""
       SELECT doc_id, text,
              trim(regexp_replace(
                nfc_normalize(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')),
-               '\s+', ' ', 'g')) AS norm
+               '[\s\p{Zs}]+', ' ', 'g')) AS norm
       FROM documents
     )
     SELECT doc_id, md5(norm) AS norm_fp,

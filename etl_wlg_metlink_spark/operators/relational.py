@@ -1477,11 +1477,11 @@ ORACLE = {
     "r20_window_range_frame": """
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4)
                  AS trailing_30m_sum,
                COUNT(*) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
                  AS n_in_30m
         FROM events

@@ -103,6 +103,12 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet must surface as
     # TimestampType, not NTZ, for event-time streaming (see build_session).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # r22's month spine recurses once per month of the data's date
+    # span; the default 100-level limit dies on a >8-year span — and a
+    # single future-dated junk order (routine at 100 TB) stretches the
+    # span arbitrarily (r16 adversarial corpus). 10k levels ≈ 800
+    # years of months, still a trivially driver-safe spine.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     # Size shuffles to the machine: AQE coalesces ordinary exchanges at
     # runtime, but stateful streaming ops pin their state-store
     # partitioning to this value at query start (200 default = 200
