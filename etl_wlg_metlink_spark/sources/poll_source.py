@@ -57,7 +57,6 @@ Two modes, selected by options:
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import warnings

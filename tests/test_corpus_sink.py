@@ -5,8 +5,6 @@ bucketing buys (no corpus-side shuffle for a fingerprint join)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from __spark_entry__ import queries
 from etl_wlg_metlink_spark.sinks.corpus import write_dedup_corpus
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import ast
 import os
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TARGETS = ("etl_wlg_metlink_spark", "tests", "tools", "bench.py",
@@ -35,6 +34,10 @@ def _imported_names(node: ast.AST):
         for a in node.names:
             yield a.asname or a.name.split(".")[0], node.lineno
     elif isinstance(node, ast.ImportFrom):
+        # future statements are directives, not bindings (ruff exempts
+        # them from F401 the same way)
+        if node.module == "__future__":
+            return
         for a in node.names:
             if a.name != "*":
                 yield a.asname or a.name, node.lineno
