@@ -8200,7 +8200,12 @@ ORACLE["l73_image_phash_neardup"] = f"""
              unnest(cs) AS c,
              unnest(range(0, len(cs))) AS p,
              len(cs) AS n
-      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
+            -- explicit empty-text guard: string_split('', '') is ['']
+            -- whose unicode() is -1, which would poison pixel 0 with a
+            -- negative mean; Spark's decode gives an empty doc the
+            -- all-zero pixel grid (r16 adversarial corpus)
+            WHERE text IS NOT NULL AND text <> '')
       WHERE len(cs) > 0
     ),
     bux AS (
@@ -10437,7 +10442,12 @@ def l93_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
         .select(
-            "w", "c", F.expr("regexp_extract_all(w, '.', 0)").alias("sym")
+            # (?s): a BPE symbol inventory is EVERY codepoint. Bare
+            # '.' silently drops the engines' line-terminator sets —
+            # and they differ: Java excludes \r/NEL/LS/PS, RE2 only
+            # \n, so a \r inside a word desyncs the corpus symbol
+            # total by one (r16 adversarial corpus, doc 539)
+            "w", "c", F.expr("regexp_extract_all(w, '(?s).', 0)").alias("sym")
         )
     )
     reports = []
@@ -10533,7 +10543,7 @@ _DUCK_BPE_REPORT = "\n    UNION ALL\n".join(
 
 ORACLE["l93_bpe_train"] = f"""
     WITH v0 AS (
-      SELECT w, c, regexp_extract_all(w, '.') AS sym
+      SELECT w, c, regexp_extract_all(w, '(?s).') AS sym
       FROM (
         SELECT w, COUNT(*) AS c
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -942,6 +942,13 @@ def ivf_ingest_run(
                     lambda acc, x: acc + x,
                 )
             ).alias("norm"),
+        ).where(
+            # same corpus rule as the batch IVF build (_ivf_corpus): a
+            # zero-norm vector has no direction — drop it at ingest
+            # instead of assigning it a NaN-cosine cell (one failed
+            # encoder call is routine at 100 TB and must not poison
+            # the index or, under ANSI, kill the stream)
+            F.col("norm") > 0
         )
         (
             _ivf_assign(corpus, sid, cent, cnorm)
