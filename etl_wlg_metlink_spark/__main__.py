@@ -60,6 +60,21 @@ def build_parser() -> argparse.ArgumentParser:
         "files — one FeatureCollection submitted per file — then exit",
     )
     ap.add_argument(
+        "--resident",
+        action="store_true",
+        help="with --schedule: stay resident instead of exiting — poll "
+        "the landing directory on a processingTime trigger (the "
+        "reference's rate(1 minute) schedule, task.ts:122, with the "
+        "engine's trigger clock as the scheduler), one snapshot file "
+        "per tick, until interrupted",
+    )
+    ap.add_argument(
+        "--poll-interval",
+        default="60 seconds",
+        help="--resident trigger interval (processingTime string, "
+        "default '60 seconds' to match the reference's schedule)",
+    )
+    ap.add_argument(
         "--config",
         help="JSON config file using the form-schema spellings "
         "(METLINK_API_KEY, Show_Buses, Show_Trains, Show_Ships, DEBUG); "
@@ -131,6 +146,29 @@ def main(argv: list[str] | None = None) -> int:
             counters["submitted"] += len(fc["features"])
             print(json.dumps(fc))
 
+        if args.resident:
+            # Resident S5: the trigger clock IS the scheduler. Runs
+            # until interrupted; each tick consumes the next landed
+            # snapshot through the metlink_poll DataSource and submits
+            # one FeatureCollection.
+            q = runners.metlink_resident_stream(
+                spark,
+                args.schedule,
+                poster,
+                checkpoint,
+                cfg=cfg,
+                interval=args.poll_interval,
+            )
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
+            print(
+                f"resident run stopped: {counters['batches']} batches, "
+                f"{counters['submitted']} features submitted",
+                file=sys.stderr,
+            )
+            return 0
         q = runners.metlink_envelope_stream(
             spark, args.schedule, poster, checkpoint, cfg=cfg
         )

@@ -716,6 +716,63 @@ def metlink_envelope_stream(
     )
 
 
+def metlink_resident_stream(
+    spark: SparkSession,
+    snapshot_dir: str,
+    poster: Callable[[dict], None],
+    checkpoint_dir: str,
+    cfg=None,
+    *,
+    interval: str = "60 seconds",
+    url: str | None = None,
+    api_key: str = "",
+):
+    """S5's RESIDENT form: the reference's `schedule: rate(1 minute)`
+    (task.ts:122) with the engine's trigger clock as the scheduler —
+    `metlink_poll` DataSource (one poll per micro-batch) → composed
+    pipeline → one FeatureCollection submission per poll, running
+    until the caller stops the query. The availableNow runner above is
+    the one-shot scheduled-job twin; this completes the S5 story for
+    deployments that prefer a long-lived driver over a cron loop.
+
+    A malformed poll body parses to `entity IS NULL` rows (the
+    streaming analogue of task.ts:180-188's error→empty fallback);
+    they are dropped here so a bad poll submits an EMPTY
+    FeatureCollection and the query keeps running — a resident poller
+    must never die on one bad response.
+
+    Pass ``interval`` as a Structured Streaming processingTime string;
+    the default matches the reference's 1-minute rate. ``url`` +
+    ``api_key`` switch the source to live-HTTP mode (one GET per
+    tick); the default ``snapshot_dir`` mode consumes a landing
+    directory, one file per tick, exactly-once over the checkpoint."""
+    from etl_wlg_metlink_spark.config import MetlinkConfig
+    from etl_wlg_metlink_spark.pipelines import metlink
+    from etl_wlg_metlink_spark.sinks import geojson
+    from etl_wlg_metlink_spark.sources import poll_source
+
+    if cfg is None:
+        cfg = MetlinkConfig()
+
+    entities = poll_source.metlink_poll_stream(
+        spark, snapshot_dir, url=url, api_key=api_key
+    ).where(F.col("entity").isNotNull())
+    entities = entities.observe(
+        "metlink_pipeline", *metlink.pipeline_metric_exprs(exact_submitted=False)
+    )
+
+    def submit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        features = metlink.run(batch_df, cfg)
+        geojson.submit(features, poster)
+
+    return (
+        entities.writeStream.foreachBatch(submit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
+
+
 _EVENT_STAGE_DIRS: dict[tuple[str, int], str] = {}
 
 

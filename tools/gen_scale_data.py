@@ -25,7 +25,12 @@ Fixed dims (region, nation) copy as-is. Determinism: pure column
 expressions, no randomness — re-running reproduces byte-identical
 values.
 
-Usage:  python tools/gen_scale_data.py [out_dir] [replicas]
+Usage:  python tools/gen_scale_data.py [out_dir] [replicas] [tables]
+
+``tables`` (comma-separated, default all) limits generation to a
+slice — e.g. ``documents,events`` at 100 replicas builds the sf10
+sketch-probe dataset (VERDICT r15 item 7) without paying for a 100×
+lineitem nobody reads.
 """
 
 from __future__ import annotations
@@ -113,9 +118,15 @@ def _replica(name: str, df: DataFrame, k: int) -> DataFrame:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else list(TABLE_NAMES)
+    )
+    unknown = set(names) - set(TABLE_NAMES)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
     os.makedirs(out, exist_ok=True)
     spark = build_session(app_name="gen_scale_data")
-    for name in TABLE_NAMES:
+    for name in names:
         src = load(spark, SRC, name)
         parts = [
             r
