@@ -11160,3 +11160,208 @@ ORACLE["l96_bloom_contamination"] = f"""
            END AS fp_rate
     FROM lab GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# l97: KMV (theta) sketch — mergeable distinct-set cardinality + set ops
+# --------------------------------------------------------------------------
+
+#: KMV sketch size: k minimum hash values per set. 256 keeps the
+#: standard deviation ≈ 1/sqrt(k-2) ≈ 6% while exercising BOTH
+#: estimator arms on the test corpora (small event types at sf0.01 /
+#: the adversarial corpus stay under k → exact arm; big types
+#: overflow k → threshold arm).
+KMV_K = 256
+#: the hash space of _md5_int60 — 60 bits, exactly representable as a
+#: double (so the estimator's double math is IEEE-identical in both
+#: engines even though individual hashes exceed 2^53).
+KMV_SPACE = float(1 << 60)
+
+
+def _kmv_est(sk):
+    """KMV cardinality estimate from a sorted k-minimum-values array:
+    a sketch that never filled (size < k) IS its full distinct set —
+    exact arm; a full sketch estimates (k-1)·SPACE / h_(k) from the
+    k-th smallest hash (Bar-Yossef et al. 2002's unbiased KMV form).
+    h_(k) = 0 cannot occur twice (hashes are distinct), but guard the
+    division anyway — one poisoned row must not NaN the report."""
+    kth = F.element_at(sk, KMV_K).cast("double")
+    return F.when(
+        F.size(sk) < KMV_K, F.size(sk).cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(KMV_SPACE) / F.greatest(kth, F.lit(1.0))
+    )
+
+
+def l97_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) distinct sketch with SET OPERATIONS — the
+    member the sketch family (l92 CMS frequency, l95 HLL cardinality,
+    l96 Bloom membership, l6 MinHash similarity) still lacked:
+    per-event-type audience sketches that MERGE, answering
+    |A ∪ B| and |A ∩ B| for every type pair without ever joining the
+    raw corpus — the overlap/reach question a training-data curator
+    asks across sources and a product analyst asks across segments.
+    HLL (l95) also unions, but KMV additionally gives the unbiased
+    intersection via inclusion-exclusion and an exact-arm degenerate
+    form, which is why Theta sketches are the warehouse standard for
+    set algebra (the same estimator family as DataSketches' theta).
+
+    Sketch: the k smallest _md5_int60 hashes of each type's distinct
+    user set. Estimate: exact when the sketch never filled, else
+    (k-1)·2^60 / h_(k). Union: re-sketch the merged arrays (sorted
+    dedup, first k). Intersection: inclusion-exclusion over the three
+    estimates, reported against the exact join for calibration.
+
+    Scale shape (100 TB): ONE (type,user) distinct shuffle over the
+    corpus — everything after is sketch-sized. The k-smallest rides
+    Spark's rank-limit pushdown: the row_number ≤ k filter plans as
+    WindowGroupLimit(Partial) BEFORE the exchange, so every map task
+    ships at most k rows per type and the Final rank sees ≤
+    k·n_mappers rows — no reducer ever ranks a whole type's distinct
+    set (verified in the committed plan; an earlier hand-salted
+    two-phase variant was removed as a redundant extra shuffle). Pair
+    assembly is a broadcast non-equi join of the ≤|types| sketch rows
+    (BNLJ_OK_BOUNDED — the build side is the type domain, not the
+    corpus); the exact intersection is a user-keyed self-join whose
+    per-key fan-out is bounded by the type count. Cross-engine
+    exactness:
+    hashes are integers, the estimator is one double multiply+divide
+    of exactly-representable operands (2^60 and k-1 are exact; the
+    h_(k)→double rounding is IEEE round-to-nearest in both engines),
+    rounded to 4dp.
+
+    Differential note: the DuckDB twin regenerates the same sketches
+    with positional list ops (list_slice/list_sort — no fold
+    accumulators, the DuckDB 1.0 list_reduce corruption)."""
+    events = load(spark, sf_dir, "events")
+    du = events.select("event_type", "user_id").distinct()
+    hs = du.select(
+        "event_type",
+        "user_id",
+        _md5_int60(
+            F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    # distributed k-smallest via rank-limit pushdown: the rn <= k
+    # filter plans as WindowGroupLimit(Partial) before the exchange —
+    # each mapper ships at most k rows per type
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hs.select("event_type", "h")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    exact = du.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    types = sk.join(exact, "event_type")
+    a = types.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = types.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    inter = (
+        hs.alias("x")
+        .join(
+            hs.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union("sk_a", "sk_b")), 1, KMV_K
+    )
+    est_union = _kmv_est(merged)
+    est_inter = _kmv_est(F.col("sk_a")) + _kmv_est(F.col("sk_b")) - est_union
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            (
+                F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+            ).alias("exact_union"),
+            "exact_inter",
+            F.round(est_union, 4).alias("est_union"),
+            F.round(est_inter, 4).alias("est_inter"),
+            F.round(
+                (est_union - (F.col("exact_a") + F.col("exact_b")
+                              - F.col("exact_inter")))
+                / (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_inter")),
+                4,
+            ).alias("rel_err_union"),
+        )
+    )
+
+
+QUERIES["l97_kmv_set_cardinality"] = l97_kmv_set_cardinality
+
+ORACLE["l97_kmv_set_cardinality"] = f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hs AS (
+      SELECT event_type, user_id,
+             {_duck_md5_int60("'u' || CAST(user_id AS VARCHAR)")} AS h
+      FROM du
+    ),
+    sk AS (
+      SELECT event_type,
+             list_slice(list_sort(list(h)), 1, {KMV_K}) AS sk,
+             COUNT(*) AS exact_n
+      FROM hs GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.sk AS sk_a, b.sk AS sk_b,
+             a.exact_n AS exact_a, b.exact_n AS exact_b,
+             list_slice(list_sort(list_distinct(a.sk || b.sk)),
+                        1, {KMV_K}) AS mg
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    ex AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             COUNT(*) AS exact_inter
+      FROM hs x JOIN hs y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT type_a, type_b, exact_a, exact_b,
+             CASE WHEN len(sk_a) < {KMV_K} THEN len(sk_a)::DOUBLE
+                  ELSE {KMV_K - 1}.0 * {1 << 60}
+                       / greatest(sk_a[{KMV_K}]::DOUBLE, 1.0) END AS ea,
+             CASE WHEN len(sk_b) < {KMV_K} THEN len(sk_b)::DOUBLE
+                  ELSE {KMV_K - 1}.0 * {1 << 60}
+                       / greatest(sk_b[{KMV_K}]::DOUBLE, 1.0) END AS eb,
+             CASE WHEN len(mg) < {KMV_K} THEN len(mg)::DOUBLE
+                  ELSE {KMV_K - 1}.0 * {1 << 60}
+                       / greatest(mg[{KMV_K}]::DOUBLE, 1.0) END AS eu
+      FROM pairs
+    )
+    SELECT type_a, type_b,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_a + exact_b - COALESCE(exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+           ROUND(eu, 4) AS est_union,
+           ROUND(ea + eb - eu, 4) AS est_inter,
+           ROUND((eu - (exact_a + exact_b - COALESCE(exact_inter, 0)))
+                 / (exact_a + exact_b - COALESCE(exact_inter, 0)), 4)
+             AS rel_err_union
+    FROM est LEFT JOIN ex USING (type_a, type_b)
+"""

@@ -236,6 +236,7 @@ _ORDER = (
     "l95_hll_cardinality",
     "l96_bloom_contamination",
     "s16_streaming_hll",
+    "l97_kmv_set_cardinality",
 )
 
 

@@ -45,6 +45,7 @@ BNLJ_OK_BOUNDED = {
     "l89_temperature_mix",  # 1-row totals onto ≤|langs| rows (l81's shape)
     "l93_bpe_train",  # per-round 1-row best-pair + symbol-total scalars
     "l96_bloom_contamination",  # 1-row manifest-sized mbits scalar
+    "l97_kmv_set_cardinality",  # <=|types|-row sketch pair assembly
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the
