@@ -11234,26 +11234,50 @@ def l97_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with positional list ops (list_slice/list_sort — no fold
     accumulators, the DuckDB 1.0 list_reduce corruption)."""
     events = load(spark, sf_dir, "events")
-    du = events.select("event_type", "user_id").distinct()
-    hs = du.select(
+    hs = _kmv_hashes(events)
+    sk = _kmv_sketch(hs.select("event_type", "h"))
+    return _kmv_report(sk, hs)
+
+
+def _kmv_hashes(events: DataFrame) -> DataFrame:
+    """(event_type, user_id, h) over the DISTINCT (type, user) pairs —
+    the one corpus-sized shuffle every KMV consumer (batch l97,
+    streaming s17) pays before everything becomes sketch-sized."""
+    return events.select("event_type", "user_id").distinct().select(
         "event_type",
         "user_id",
         _md5_int60(
             F.concat(F.lit("u"), F.col("user_id").cast("string"))
         ).alias("h"),
     )
-    # distributed k-smallest via rank-limit pushdown: the rn <= k
-    # filter plans as WindowGroupLimit(Partial) before the exchange —
-    # each mapper ships at most k rows per type
+
+
+def _kmv_sketch(hashes: DataFrame) -> DataFrame:
+    """[event_type, h] → [event_type, sk] (sorted k-minimum values).
+    Distributed k-smallest via rank-limit pushdown: the rn <= k filter
+    plans as WindowGroupLimit(Partial) BEFORE the exchange — each
+    mapper ships at most k rows per type. Input must be DISTINCT on
+    (event_type, h): a duplicate hash would occupy a rank slot and
+    displace a real k-th member. Both callers guarantee it (l97:
+    distinct users; s17: distinct over the exploded ledger — which is
+    also what makes an availableNow replay idempotent)."""
     w = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        hs.select("event_type", "h")
-        .withColumn("rn", F.row_number().over(w))
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= KMV_K)
         .groupBy("event_type")
         .agg(F.sort_array(F.collect_list("h")).alias("sk"))
     )
-    exact = du.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+
+
+def _kmv_report(sk: DataFrame, hs: DataFrame) -> DataFrame:
+    """The shared KMV serving stage (one report, so the streaming twin
+    cannot drift from batch and s17 reuses l97's oracle verbatim):
+    per-type sketches → pairwise union/intersection estimates against
+    the exact joins from the full hash relation."""
+    exact = (
+        hs.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    )
     types = sk.join(exact, "event_type")
     a = types.select(
         F.col("event_type").alias("type_a"),

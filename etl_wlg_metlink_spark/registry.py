@@ -237,6 +237,7 @@ _ORDER = (
     "l96_bloom_contamination",
     "s16_streaming_hll",
     "l97_kmv_set_cardinality",
+    "s17_streaming_kmv",
 )
 
 

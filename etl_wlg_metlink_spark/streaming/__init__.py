@@ -722,3 +722,25 @@ from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
 
 #: shared verbatim with l95 — one estimator (_hll_finalize), one oracle
 ORACLE["s16_streaming_hll"] = _LP_ORACLE["l95_hll_cardinality"]
+
+
+def s17_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV (theta) maintenance: per-micro-batch k-minimum-
+    values partials appended to a ledger, dedup-merged and re-sketched
+    on the serving read (runners.kmv_ingest_run). k-smallest-of-
+    distinct-union is associative and idempotent — s16's MAX-merge
+    argument in order statistics — so no exactly-once restore stage.
+    Serving runs l97's shared report (_kmv_report), so the lane reuses
+    l97's DuckDB oracle verbatim: stream equals batch because the k
+    smallest of a union is the k smallest of the parts' k-smallests."""
+    from etl_wlg_metlink_spark.streaming import runners
+
+    return _run_with_state_partitions(
+        spark, 8, lambda: runners.kmv_ingest_run(spark, sf_dir)
+    )
+
+
+QUERIES["s17_streaming_kmv"] = s17_streaming_kmv
+
+#: shared verbatim with l97 — one report (_kmv_report), one oracle
+ORACLE["s17_streaming_kmv"] = _LP_ORACLE["l97_kmv_set_cardinality"]

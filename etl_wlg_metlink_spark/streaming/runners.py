@@ -1323,3 +1323,68 @@ def hll_ingest_run(
         .agg(F.countDistinct("user_id").alias("n_exact"))
     )
     return _hll_finalize(regs, exact)
+
+
+def kmv_ingest_run(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Streaming KMV maintenance (s17) — the streaming twin of l97 and
+    the second idempotent member of the sketch-maintenance family:
+    each micro-batch reduces to its own per-type k-minimum-values
+    partial inside foreachBatch (batch-local distinct + rank-limit —
+    the stream itself never shuffles whole) and appends it to a
+    ledger; the serving read explodes the partials, DEDUPS (the same
+    user hash re-appearing across batches or across a replayed append
+    collapses — k-smallest-of-distinct-union is associative and
+    idempotent, the MAX-merge argument of s16 in order statistics),
+    re-sketches, and runs l97's shared report (_kmv_report — one
+    estimator and one pair stage, so stream and batch cannot drift
+    and s17 reuses l97's DuckDB oracle verbatim).
+
+    Scale shape: ledger grows by ≤ types×k rows per batch; serving
+    work is (ledger rows) → distinct → rank-limit — sketch-sized.
+    The exact-join calibration side reads the staged table once; at
+    100 TB you ship only the sketch half (the corpus-wide distinct
+    and the pairwise user join are what the sketch replaces)."""
+    from etl_wlg_metlink_spark.operators.llm_pipeline import (
+        _kmv_hashes,
+        _kmv_report,
+        _kmv_sketch,
+    )
+    from etl_wlg_metlink_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    stage = staged_events_dir(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    ledger_dir = _tracked_mkdtemp(prefix="kmv_ledger_")
+    checkpoint_dir = _tracked_mkdtemp(prefix="kmv_ckpt_")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _kmv_sketch(
+            _kmv_hashes(batch_df).select("event_type", "h")
+        )
+        (
+            partial.select("event_type", F.explode("sk").alias("h"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = _kmv_sketch(
+        spark.read.parquet(ledger_dir).select("event_type", "h").distinct()
+    )
+    hs = _kmv_hashes(spark.read.parquet(stage))
+    return _kmv_report(merged, hs)

@@ -46,6 +46,7 @@ BNLJ_OK_BOUNDED = {
     "l93_bpe_train",  # per-round 1-row best-pair + symbol-total scalars
     "l96_bloom_contamination",  # 1-row manifest-sized mbits scalar
     "l97_kmv_set_cardinality",  # <=|types|-row sketch pair assembly
+    "s17_streaming_kmv",  # l97's serving stage on the merged ledger
 }
 #: CORPUS-DEPENDENT: the broadcast side grows with the corpus (√N IVF
 #: seeds) — sanctioned ONLY while the banked sf1 measurement shows the
