@@ -22,8 +22,11 @@ documents (500 base + 84 adversarial):
     alpha" — DIFFERENT texts, IDENTICAL bag-of-words fingerprint
     (l96/l90 fingerprint semantics under reordering)
   - exact-tie token counts, punctuation-only, digits-only, CRLF/tab
-    whitespace zoo, a 4096-char (power-of-two) doc, a 5000-repeat
-    single-token doc (cap stress)
+    whitespace zoo, the full Java line-terminator set inside words
+    (\\r NEL LS PS — the Java-vs-RE2 regex '.' divergence class, and
+    Zl/Zp separators that must NOT collapse as \\p{Zs} spaces), a
+    4096-char (power-of-two) doc, a 5000-repeat single-token doc
+    (cap stress)
   - one adversarial doc re-keyed to doc_id 679 = 97·7 so the l96
     held-out set (doc_id % 97 == 0) contains an adversarial member
     (the empty-fingerprint doc)
@@ -76,6 +79,9 @@ SRC = "/root/testdata/sf0.001"
 
 NBSP = " "
 ZWSP = "​"
+NEL = "\x85"
+LS = "\u2028"
+PS = "\u2029"
 
 
 def _docs_rows(base: pd.DataFrame) -> pd.DataFrame:
@@ -130,6 +136,12 @@ def _docs_rows(base: pd.DataFrame) -> pd.DataFrame:
         ("!!! ??? ... ,,, ;;;", "en", "src13"),
         ("123 456 789 0 007", "en", "src13"),
         ("line1\nline2\r\nline3\ttab  double", "en", "src14"),
+        # the FULL Java line-terminator set inside words: Java regex
+        # '.' excludes \r NEL LS PS while RE2 excludes only \n (the
+        # l93 class), and LS/PS are Zl/Zp — NOT Zs — so l94's
+        # \p{Zs} collapse must leave them alone in both engines
+        (f"nel{NEL}mid ls{LS}mid ps{PS}mid tail", "en", "src14"),
+        (f"{LS}leading and trailing{PS}", "en", "src14"),
         ("x" * 4096, "en", "src14"),
         (("tok " * 5000).strip(), "en", "src15"),
     ]
