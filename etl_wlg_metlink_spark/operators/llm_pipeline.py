@@ -2044,8 +2044,18 @@ def _min_label_propagation(
 #: shared across sessions, and never bounds on driver RAM — the rows
 #: never transit the driver at all (write and read are both
 #: cluster-side). Overridable for tests and deployments.
-_ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
-    tempfile.gettempdir(), "spark_graft_artifacts"
+def _default_artifact_root() -> str:
+    # fastest local storage (tmpfs locally, NVMe on a cluster node) —
+    # see session.scratch_root(); falls back to the system tempdir
+    from etl_wlg_metlink_spark.session import scratch_root
+
+    return os.path.join(
+        scratch_root() or tempfile.gettempdir(), "spark_graft_artifacts"
+    )
+
+
+_ARTIFACT_ROOT = (
+    os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or _default_artifact_root()
 )
 
 

@@ -23,6 +23,32 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_root() -> str | None:
+    """Fast local scratch for engine-internal I/O: shuffle spill
+    (spark.local.dir), streaming checkpoint WALs/state stores, staged
+    micro-batch inputs and the artifact store. Production clusters put
+    this on local NVMe (guide: shuffle/state belongs on the fastest
+    local disk); the sandbox equivalent is tmpfs, where /tmp is
+    disk-backed ext4 and every streaming micro-batch otherwise pays
+    journalled create/rename metadata I/O for its offset/commit WALs
+    and state-store deltas.
+
+    Override with SPARK_GRAFT_SCRATCH_DIR (a cluster submit sets it to
+    the NVMe mount); default is /dev/shm when writable, else None
+    (keep the system default tempdir). Scratch contents are created
+    fresh per run and carry no results across runs — this relocates
+    engine-internal I/O, it caches nothing."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if not root and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        root = "/dev/shm/spark_graft_scratch"
+    if root:
+        try:
+            os.makedirs(root, exist_ok=True)
+        except OSError:
+            return None
+    return root or None
+
+
 def build_session(
     app_name: str = "etl_wlg_metlink_spark",
     master: str | None = None,
@@ -65,6 +91,15 @@ def build_session(
     # mark the session so ensure_engine_conf never overrides this
     # builder's explicit shuffle_partitions choice
     builder = builder.config("spark.etl_wlg_metlink.shufflePinned", "true")
+    # Shuffle/spill scratch on the fastest local storage (see
+    # scratch_root). Only effective when THIS builder creates the
+    # SparkContext — an externally built session keeps its own local
+    # dir, which is correctness-neutral.
+    scratch = scratch_root()
+    if scratch:
+        builder = builder.config(
+            "spark.local.dir", os.path.join(scratch, "spark_local")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -54,8 +54,16 @@ def _tracked_mkdtemp(prefix: str) -> str:
     ledger / checkpoint dir is registered here and removed at exit, so
     repeated bench/test runs in one interpreter don't accumulate temp
     directories on disk (ADVICE r06). Dirs cached for intra-process
-    reuse (_WATCH_DIRS etc.) stay alive until exit by design."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    reuse (_WATCH_DIRS etc.) stay alive until exit by design.
+
+    Rooted at session.scratch_root() (tmpfs locally, NVMe in a
+    deployment): checkpoint WALs, state-store deltas and staged
+    micro-batch files are engine-internal scratch whose per-file
+    create/rename cost is pure micro-batch lifecycle overhead on a
+    journalled disk FS."""
+    from etl_wlg_metlink_spark.session import scratch_root
+
+    d = tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
     _TEMP_DIRS.append(d)
     return d
 
@@ -345,7 +353,16 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    result = spark.table(name)  # resolves the sink-backed plan NOW
+    # Drop the temp view immediately: the returned DataFrame holds the
+    # resolved plan (and keeps the sink rows alive while referenced),
+    # but the catalog entry would otherwise pin every run's sink in
+    # executor memory for the session's lifetime — ~3 runs × every
+    # streaming lane per bench = an unbounded heap leak that surfaces
+    # as GC pressure in whatever queries run late in the suite.
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def run_until_idle(
@@ -396,7 +413,9 @@ def run_until_idle(
             idle = idle + 1 if p["numInputRows"] == 0 else 0
         q.stop()
         q.awaitTermination()
-    return spark.table(name)
+    result = spark.table(name)
+    spark.catalog.dropTempView(name)  # same leak guard as run_available_now
+    return result
 
 
 def user_track_state_stream(events: DataFrame) -> DataFrame:

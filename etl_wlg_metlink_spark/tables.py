@@ -59,6 +59,53 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Respread threshold per core: when a table's bytes-on-disk are below
+#: cores × this, the parquet scan cannot produce enough splits to keep
+#: the machine busy (testdata is ONE file with ONE row group → one
+#: task), so pre-shuffle map work serializes on a single core. 32 MB
+#: per core ≈ a quarter of the default 128 MB split: past that the
+#: scan itself yields ≥ cores/4 tasks and a respread shuffle costs
+#: more than it buys.
+SPREAD_BYTES_PER_CORE = 32 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """Bytes on disk of a table (file or directory of part files) —
+    the same signal the scan planner sizes splits from; cheap
+    (metadata only) and safe (missing path → 0 → respread, which is
+    always correct, just possibly unnecessary)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    try:
+        for entry in os.scandir(path):
+            if entry.is_file():
+                total += entry.stat().st_size
+    except OSError:
+        return 0
+    return total
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load()`` plus a SCALE-CONDITIONAL respread for lanes whose
+    first heavy work is pre-shuffle map compute (explode, shingle
+    hashing, per-row feature building). Small inputs scan as one task
+    (single file, single row group), serializing that work on one
+    core; at real scale the scan already yields ≥ cores of splits and
+    an unconditional round-robin repartition would be an EXTRA full
+    shuffle of the payload (guide §8's anti-pattern). Condition on
+    bytes-on-disk so the respread exists exactly when the scan cannot
+    parallelize by itself."""
+    df = load(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if _table_bytes(sf_dir, name) < cores * SPREAD_BYTES_PER_CORE:
+        df = df.repartition(cores)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

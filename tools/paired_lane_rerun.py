@@ -40,7 +40,10 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-STORE = os.path.join(tempfile.gettempdir(), "spark_graft_artifacts")
+sys.path.insert(0, REPO)
+from etl_wlg_metlink_spark.operators.llm_pipeline import (  # noqa: E402
+    _ARTIFACT_ROOT as STORE,
+)
 
 
 def _run_leg(tree: str, lanes: list[str], sf_dir: str | None) -> dict:
