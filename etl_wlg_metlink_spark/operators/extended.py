@@ -41,7 +41,11 @@ def x11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketches are engine-specific, so like r12 the query validates
     itself: the approx answer must sit within 1% of exact, and the
     driver checks the boolean plus the exact value."""
-    li = load(spark, sf_dir, "lineitem")
+    from etl_wlg_metlink_spark.tables import load_spread
+
+    # exact percentile buffers every value per group — spread the
+    # buffering when the scan is single-split (x1's fix, conditional)
+    li = load_spread(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
@@ -364,7 +368,13 @@ def x17_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies. This is the right home for shared business formulas at
     scale: one definition, zero serialization cost, full optimizer
     visibility."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_x17")
+    from etl_wlg_metlink_spark.tables import load_spread
+
+    # conditional respread: the decimal partial agg is the heavy map
+    # stage and a single-split scan would serialize it on one core
+    load_spread(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_x17"
+    )
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION x17_disc_price(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_wlg_metlink_spark.tables import load
+from etl_wlg_metlink_spark.tables import load, load_spread
 
 
 # --------------------------------------------------------------------------
@@ -708,8 +708,10 @@ def r25_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and 7-column pruning pushed to parquet. All money sums
     accumulate in DECIMAL (exact, order-independent); the averages are
     one IEEE double division each at the very end, identical in both
-    engines."""
-    li = load(spark, sf_dir, "lineitem").where(
+    engines. Scan respread when single-split (conditional — at scale
+    the scan parallelizes itself and the respread must not run) so
+    the decimal partial aggregation uses every core."""
+    li = load_spread(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
     # ext*(1-disc) is exact at 4 decimals (2+2), the dec(18,4) rebase
