@@ -2407,7 +2407,7 @@ def l23_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast filter — no shuffle of the big side at all; the only
     shuffles are the benchmark-gram distinct and the final per-language
     rollup."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", "lang", _words(F.col("text")).alias("ws")
     ).select("doc_id", "lang", F.explode(_shingles_ws(F.col("ws"))).alias("g"))
@@ -6299,7 +6299,7 @@ def l61_domain_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs); source pair count is n_sources choose 2 — tiny output.
     8 perms give +-1/8 estimate resolution; the test pins
     |est - exact| <= 3/8."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     ws = F.col("ws")
     sh = (
         docs.select("source", _words(F.col("text")).alias("ws"))
@@ -6750,7 +6750,7 @@ def l64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     call (l7's diamond-and-release: one md5 per gram instead of two;
     r11, measured ~40% of the lane at sf1), the small top-N result is
     eagerly checkpointed, and the cache is released before return."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", "source", _words(F.col("text")).alias("ws")
     )
@@ -9657,7 +9657,7 @@ def l86_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs take a shuffle join. The split is pure execution strategy:
     results are independent of L86_HOT_K (the oracle runs unsplit
     SQL)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id",
         _words(F.col("text")).alias("ws"),
