@@ -2190,6 +2190,43 @@ def test_bm25_ranked_artifact_matches_recompute(spark, sf_dir, tmp_path, monkeyp
     assert fresh.count() > 0
 
 
+def test_minhash_hashed_artifact_matches_recompute(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The shared fingerprint index (r16: the (doc_id, hs) shingle-hash
+    relation l39/l72/l91 ride) must be byte-identical to the raw
+    construction — same schema via the sidecar, same rows — and l6,
+    the lane that MEASURES the MinHash pipeline, must neither read nor
+    write the store."""
+    import os
+
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    monkeypatch.setattr(lp, "_ARTIFACT_ROOT", str(tmp_path / "store"))
+    raw = lp._build_hashed_shingles(spark, sf_dir)
+    lp.l6_minhash_near_dup(spark, sf_dir)
+    assert not os.path.exists(lp._ARTIFACT_ROOT)  # mining lane: no write
+
+    cold = lp._hashed_shingles_artifact(spark, sf_dir)  # mines + persists
+    path = lp._artifact_path("minhash_hashed", lp._ivf_cache_key(sf_dir, 0))
+    assert lp._artifact_exists(path)
+    warm = lp._hashed_shingles_artifact(spark, sf_dir)  # reads the store
+
+    assert [(f.name, f.dataType) for f in warm.schema.fields] == [
+        (f.name, f.dataType) for f in raw.schema.fields
+    ]
+    key = lambda r: r["doc_id"]  # noqa: E731
+    raw_rows = sorted(
+        [(r["doc_id"], tuple(r["hs"])) for r in raw.collect()]
+    )
+    assert (
+        raw_rows
+        == sorted([(r["doc_id"], tuple(r["hs"])) for r in cold.collect()])
+        == sorted([(r["doc_id"], tuple(r["hs"])) for r in warm.collect()])
+    )
+    assert len(raw_rows) > 0
+
+
 def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir, tmp_path, monkeypatch):
     """ADVICE r12: the warm path eagerly checkpoints its rebuild, so
     repeated consumer calls in one session must reuse ONE checkpointed
