@@ -32,7 +32,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_wlg_metlink_spark.tables import load, load_spread
+from etl_wlg_metlink_spark.tables import SPREAD_BYTES_PER_CORE, load, load_spread
 
 #: Marker stopwords per language for the LID heuristic (l3). The
 #: synthetic corpus shares one vocabulary across langs, so accuracy is
@@ -414,28 +414,64 @@ def _hashed_shingles_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose MEASURED operator includes this construction — always runs
     the real pipeline and neither reads nor writes it (the l56/l67
     discipline). Read is respread for the compute-dense signature/
-    verify stages downstream (same single-split-scan reasoning as
-    load_spread)."""
+    verify stages downstream only when the stored artifact is too
+    small to split naturally (same bytes-on-disk condition as
+    tables.load_spread, VERDICT r16 item 2: at 100 TB the artifact
+    parquet yields >= cores of scan splits and an unconditional
+    repartition would be an extra full shuffle of the dedup stack's
+    biggest relation — guide §8's anti-pattern). NOTE: the guarded
+    read is lazy — a concurrent clear of the artifact store between
+    DataFrame creation and the consuming action fails the query
+    rather than degrading to re-mine; concurrent store clears
+    mid-query are unsupported (bench.py only clears BEFORE building
+    any plan)."""
     key = _ivf_cache_key(sf_dir, 0)
     path = _artifact_path("minhash_hashed", key)
     if path and _artifact_exists(path):
         # guarded read (ADVICE r13): corrupt/vanished store → re-mine
         try:
-            return _read_artifact(spark, path).repartition(
-                spark.sparkContext.defaultParallelism
-            )
+            return _respread_small_artifact(_read_artifact(spark, path), path)
         except Exception:
             pass
     hashed = _build_hashed_shingles(spark, sf_dir)
     if path:
         _write_artifact(hashed, path)
         try:
-            return _read_artifact(spark, path).repartition(
-                spark.sparkContext.defaultParallelism
-            )
+            return _respread_small_artifact(_read_artifact(spark, path), path)
         except Exception:
             pass
     return hashed
+
+
+def _respread_small_artifact(df: DataFrame, path: str) -> DataFrame:
+    """Scale-conditional respread of an artifact read (the load_spread
+    rule applied to the store): tiny stores scan as one/few tasks and
+    the compute-dense downstream (signature permutations, verify
+    joins) serializes on them, so respread; a store big enough to
+    split into >= cores of scan tasks is left alone — repartitioning
+    it there would be an extra full shuffle of the payload."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if _artifact_bytes(path) < cores * SPREAD_BYTES_PER_CORE:
+        df = df.repartition(cores)
+    return df
+
+
+def _artifact_bytes(path: str) -> int:
+    """Recursive bytes-on-disk of an artifact dir (os.walk, so nested
+    layouts measure correctly — ADVICE r16 on the scandir variant).
+    Errors → 0 → respread, which is always correct, just possibly
+    unnecessary."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        return 0
+    return total
 
 
 def _minhash_verified_pairs(

@@ -22,6 +22,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Minimum free /dev/shm for the tmpfs-scratch default to engage (see
+#: scratch_root): shuffle spill exists to relieve MEMORY pressure, so
+#: RAM-backed scratch is only safe with generous headroom. 16 GiB is
+#: far above anything this engine's streaming WALs/state deltas write
+#: (MBs per run) yet small enough that typical half-of-RAM /dev/shm
+#: mounts on dev/CI boxes qualify; memory-tight production hosts fall
+#: through to disk-backed temp unless SPARK_GRAFT_SCRATCH_DIR says
+#: otherwise.
+_SHM_MIN_FREE_BYTES = 16 << 30
+
 
 def scratch_root() -> str | None:
     """Fast local scratch for engine-internal I/O: shuffle spill
@@ -34,13 +44,24 @@ def scratch_root() -> str | None:
     and state-store deltas.
 
     Override with SPARK_GRAFT_SCRATCH_DIR (a cluster submit sets it to
-    the NVMe mount); default is /dev/shm when writable, else None
-    (keep the system default tempdir). Scratch contents are created
-    fresh per run and carry no results across runs — this relocates
-    engine-internal I/O, it caches nothing."""
+    the NVMe mount); default is /dev/shm when writable AND comfortably
+    sized (ADVICE r16: tmpfs scratch consumes RAM at exactly the moment
+    spill needs relief, so a box whose /dev/shm is small or already
+    under pressure must fall through to disk-backed temp — the guard
+    requires >= _SHM_MIN_FREE_BYTES free, which keeps the default safe
+    on memory-tight hosts while dev/bench boxes with half-of-RAM tmpfs
+    still get it). Else None (keep the system default tempdir).
+    Scratch contents are created fresh per run and carry no results
+    across runs — this relocates engine-internal I/O, it caches
+    nothing."""
     root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
     if not root and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        root = "/dev/shm/spark_graft_scratch"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                root = "/dev/shm/spark_graft_scratch"
+        except OSError:
+            pass
     if root:
         try:
             os.makedirs(root, exist_ok=True)

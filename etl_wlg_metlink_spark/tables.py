@@ -81,9 +81,16 @@ def _table_bytes(sf_dir: str, name: str) -> int:
         return os.path.getsize(path)
     total = 0
     try:
-        for entry in os.scandir(path):
-            if entry.is_file():
-                total += entry.stat().st_size
+        # Recursive walk (ADVICE r16): a Hive-partitioned layout nests
+        # key=value subdirectories; summing only top-level files would
+        # measure ~0 bytes and inject the respread shuffle at exactly
+        # the scale where it is an anti-pattern.
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
     except OSError:
         return 0
     return total

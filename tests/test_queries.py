@@ -2215,7 +2215,6 @@ def test_minhash_hashed_artifact_matches_recompute(
     assert [(f.name, f.dataType) for f in warm.schema.fields] == [
         (f.name, f.dataType) for f in raw.schema.fields
     ]
-    key = lambda r: r["doc_id"]  # noqa: E731
     raw_rows = sorted(
         [(r["doc_id"], tuple(r["hs"])) for r in raw.collect()]
     )
@@ -2225,6 +2224,38 @@ def test_minhash_hashed_artifact_matches_recompute(
         == sorted([(r["doc_id"], tuple(r["hs"])) for r in warm.collect()])
     )
     assert len(raw_rows) > 0
+
+
+def test_artifact_respread_is_scale_conditional(spark, tmp_path, monkeypatch):
+    """r17 (VERDICT r16 item 2): the minhash_hashed artifact read must
+    respread ONLY when the store is too small to split naturally — at
+    scale an unconditional repartition is an extra full shuffle of the
+    dedup stack's biggest relation. Also pins the recursive
+    bytes-on-disk summers (ADVICE r16: nested dirs must not measure
+    ~0 and force the respread at exactly the wrong scale)."""
+    from etl_wlg_metlink_spark import tables
+    from etl_wlg_metlink_spark.operators import llm_pipeline as lp
+
+    # recursive sums see nested files (Hive-style layouts)
+    nested = tmp_path / "t.parquet" / "k=1"
+    nested.mkdir(parents=True)
+    (nested / "part-0.parquet").write_bytes(b"x" * 1000)
+    assert tables._table_bytes(str(tmp_path), "t") == 1000
+    assert lp._artifact_bytes(str(tmp_path / "t.parquet")) == 1000
+
+    df = spark.range(4)
+    small = lp._respread_small_artifact(df, str(tmp_path / "t.parquet"))
+    assert "Repartition" in small._jdf.queryExecution().logical().toString()
+
+    # a store past the split threshold is NOT respread
+    monkeypatch.setattr(
+        lp,
+        "_artifact_bytes",
+        lambda p: spark.sparkContext.defaultParallelism
+        * lp.SPREAD_BYTES_PER_CORE,
+    )
+    big = lp._respread_small_artifact(df, str(tmp_path / "t.parquet"))
+    assert big is df
 
 
 def test_verified_pairs_warm_rebuild_is_memoized(spark, sf_dir, tmp_path, monkeypatch):
