@@ -74,6 +74,33 @@ def _cleanup_temp_dirs() -> None:
         shutil.rmtree(_TEMP_DIRS.pop(), ignore_errors=True)
 
 
+def _unload_state_providers(spark: SparkSession) -> None:
+    """Release the just-terminated query's state-store providers NOW
+    instead of at the next maintenance tick (default 60 s away).
+
+    Every runner here executes one-shot (availableNow / drain-then-
+    stop) against a FRESH temp checkpoint, so a terminated query's
+    loaded providers can never be reused — yet each keeps its last
+    committed version's full state map pinned in executor memory
+    until the maintenance task notices the query is gone. Per key
+    that is O(state) memory held for up to a minute after the answer
+    was returned; a bench/driver session runs ~50 such queries
+    back-to-back, and at production state sizes the pinned maps are
+    GBs (same leak class as the r16 memory-sink temp views, one
+    layer down). StateStore.stop() unloads every provider and halts
+    the maintenance thread; the next stateful query restarts both on
+    demand (verified: isMaintenanceRunning flips back true). Callers
+    must not hold another streaming query RUNNING concurrently —
+    its providers would be unloaded too and reload from checkpoint
+    on its next batch (correct, just slower); every runner in this
+    module is synchronous, so the situation does not arise here.
+    Best-effort: a missing/renamed internal never fails the query."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+
+
 #: one symlink dir per source file per process — repeated calls
 #: (driver gate, bench warm+timed, tests) must not leak temp dirs
 _WATCH_DIRS: dict[str, str] = {}
@@ -335,6 +362,7 @@ def corpus_ingest_dedup_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
     return survivors_dir
 
 
@@ -354,6 +382,7 @@ def run_available_now(
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
+    _unload_state_providers(spark)
     result = spark.table(name)  # resolves the sink-backed plan NOW
     # Drop the temp view immediately: the returned DataFrame holds the
     # resolved plan (and keeps the sink rows alive while referenced),
@@ -413,6 +442,7 @@ def run_until_idle(
             idle = idle + 1 if p["numInputRows"] == 0 else 0
         q.stop()
         q.awaitTermination()
+    _unload_state_providers(spark)
     result = spark.table(name)
     spark.catalog.dropTempView(name)  # same leak guard as run_available_now
     return result
@@ -899,6 +929,7 @@ def trending_topk_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
     ledger = spark.read.parquet(ledger_dir)
     w_last = Window.partitionBy("window_start", "event_type").orderBy(
         F.col("batch_id").desc()
@@ -1040,6 +1071,7 @@ def ivf_ingest_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
     from pyspark.sql import Window
 
     ledger = spark.read.parquet(ledger_dir)
@@ -1239,6 +1271,7 @@ def countmin_ingest_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
 
     # exactly-once restore (max over identical replayed rows per
     # batch_id), THEN the associative merge across batches
@@ -1330,6 +1363,7 @@ def hll_ingest_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
 
     regs = (
         spark.read.parquet(ledger_dir)
@@ -1401,6 +1435,7 @@ def kmv_ingest_run(
         .start()
     )
     q.awaitTermination()
+    _unload_state_providers(spark)
 
     merged = _kmv_sketch(
         spark.read.parquet(ledger_dir).select("event_type", "h").distinct()
