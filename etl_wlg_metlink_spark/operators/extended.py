@@ -41,11 +41,11 @@ def x11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketches are engine-specific, so like r12 the query validates
     itself: the approx answer must sit within 1% of exact, and the
     driver checks the boolean plus the exact value."""
-    from etl_wlg_metlink_spark.tables import load_spread
-
-    # exact percentile buffers every value per group — spread the
-    # buffering when the scan is single-split (x1's fix, conditional)
-    li = load_spread(spark, sf_dir, "lineitem")
+    # exact percentile buffers every value per group; a respread of
+    # the scan was tried (r16) and measured 1.32x slower in the r17
+    # paired probe — the single aggregation pass doesn't amortize the
+    # extra exchange
+    li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(

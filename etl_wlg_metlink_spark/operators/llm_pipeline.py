@@ -3863,9 +3863,10 @@ def l56_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings never shuffle for it); scalars ride a 1-row broadcast
     cross join; top-K per query windows only the CANDIDATE set (docs
     sharing ≥ 1 query term). The corpus explode + partial (doc, w)
-    aggregation is the heavy map stage, so the scan is respread when
-    it cannot parallelize by itself (load_spread)."""
-    docs = load_spread(spark, sf_dir, "documents")
+    aggregation is the heavy map stage; the r17 paired probe showed
+    a respread LOSES here (the postings diamond re-reads the exchange;
+    min-of-3 interleaved: 1.35x slower with respread)."""
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
@@ -6149,9 +6150,9 @@ def l59_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation broadcasts into the postings join; both rank windows
     partition by query over the CANDIDATE set only; the fused top-K is
     queries x K rows, eagerly checkpointed so the diamond cache is
-    released before return. Corpus scan respread for the explode map
-    stage exactly as l56."""
-    docs = load_spread(spark, sf_dir, "documents")
+    released before return. No corpus respread: the r17 paired probe
+    measured it 1.29x slower (same diamond-reuse break as l56)."""
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
