@@ -2329,11 +2329,9 @@ def _verified_pairs_artifact(
     if path and _artifact_exists(path):
         # guarded read (ADVICE r13): corrupt/vanished store → re-mine
         try:
-            df = (
-                _read_artifact(spark, path)
-                .repartition(spark.sparkContext.defaultParallelism)
-                .localCheckpoint(eager=True)
-            )
+            df = _respread_small_artifact(
+                _read_artifact(spark, path), path
+            ).localCheckpoint(eager=True)
             _VERIFIED_PAIRS_DF_CACHE[df_key] = df
             return df
         except Exception:
